@@ -1,0 +1,19 @@
+"""Test env: CPU backend with 8 virtual devices for sharding tests.
+
+Must run before jax initializes (standard JAX fake-mesh trick, SURVEY.md §4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config update
+# is what actually forces the CPU backend in this environment.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
