@@ -74,7 +74,17 @@ class ShadowConfig:
     mode: str = "cone"               # "cone" | "map"
     # cone mode
     tan_half_angle: float = 0.03     # narrow cone toward the light
-    normal_offset: float = 1.0       # start offset in voxel widths
+    normal_offset: float = 2.0       # start offset in voxel widths
+    step_factor: float = 0.5         # denser steps so thin occluders don't leak
+    # Saturating per-sample opacity gain.  Trilinear filtering turns a
+    # 1-voxel occluder into a tent of peak weight <=1, so raw transmittance
+    # through a thin wall stays ~0.5 (phase-dependent striping).  min(1, g*a)
+    # hardens the core shadow; penumbra comes from the cone aperture.
+    opacity_gain: float = 4.0
+    # Shadow cones must traverse the WHOLE grid (a directional light's
+    # occluder can be anywhere), unlike gather cones' MAX_DISTANCE=75.
+    # None -> grid diagonal (sqrt(3) * world_size).
+    max_distance: Optional[float] = None
     # map mode (reference parity)
     map_size: int = 4096             # Voxel_Cone_Tracing.h:35
     pcf_radius: int = 2              # 5x5 kernel, fs:136
@@ -102,7 +112,8 @@ class RenderConfig:
     show_indirect_diffuse: bool = True
     show_specular: bool = True
     show_indirect_specular: bool = True
-    background: Tuple[float, float, float] = (0.1, 0.1, 0.1)  # clear by ambient, :153-159
+    # clear color: gray when AmbientFactor < 0.5 else white (V_C_T.h:153-159)
+    background: Tuple[float, float, float] = (0.5, 0.5, 0.5)
 
 
 @dataclasses.dataclass(frozen=True)

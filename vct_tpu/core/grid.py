@@ -125,17 +125,32 @@ def sample_voxels(mips: Sequence[Array], p_world: Array, lod: float,
     return sample_lod(mips, world_to_uvw(p_world, world_size), lod)
 
 
-def downsample2x(grid: Array) -> Array:
-    """One 2x2x2 box-filter reduction step (glGenerateMipmap level build)."""
+def downsample2x(grid: Array, alpha_mode: str = "mean") -> Array:
+    """One 2x2x2 reduction step (glGenerateMipmap level build).
+
+    alpha_mode="mean": box filter all channels (GL behavior).
+    alpha_mode="max":  box filter color, MAX the alpha channel —
+      "conservative occupancy" mips: a coarse voxel is opaque if ANY child
+      is.  Used for the shadow pyramid, where mean-reduction dilutes
+      1-voxel-thick occluders (walls, ceilings) to near-transparency at the
+      lods a long shadow cone samples, causing light leaks.
+    """
     d = grid.shape[0]
     c = grid.shape[-1]
     if d == 1:
         return grid
     g = grid.reshape(d // 2, 2, d // 2, 2, d // 2, 2, c)
-    return g.mean(axis=(1, 3, 5))
+    mean = g.mean(axis=(1, 3, 5))
+    if alpha_mode == "mean":
+        return mean
+    if alpha_mode == "max":
+        amax = g[..., -1:].max(axis=(1, 3, 5))
+        return jnp.concatenate([mean[..., :-1], amax], axis=-1)
+    raise ValueError(f"unknown alpha_mode {alpha_mode!r}")
 
 
-def build_mips(grid: Array, num_levels: int | None = None) -> Tuple[Array, ...]:
+def build_mips(grid: Array, num_levels: int | None = None,
+               alpha_mode: str = "mean") -> Tuple[Array, ...]:
     """Full isotropic mip pyramid, level 0 = input (Voxel_Cone_Tracing.h:248)."""
     d = grid.shape[0]
     if d & (d - 1):
@@ -144,7 +159,7 @@ def build_mips(grid: Array, num_levels: int | None = None) -> Tuple[Array, ...]:
     n = full if num_levels is None else min(num_levels, full)
     mips = [grid]
     for _ in range(n - 1):
-        mips.append(downsample2x(mips[-1]))
+        mips.append(downsample2x(mips[-1], alpha_mode))
     return tuple(mips)
 
 

@@ -53,6 +53,7 @@ class MarchSchedule:
     dists: Tuple[float, ...]        # sample distance along the cone axis
     diameters: Tuple[float, ...]    # cone diameter at the sample
     lods: Tuple[float, ...]         # mip lod = log2(diameter / voxel_size)
+    step_factor: float = 1.0        # advance = diameter * step_factor
 
     @property
     def num_steps(self) -> int:
@@ -64,12 +65,18 @@ def march_schedule(
     voxel_world_size: float,
     max_distance: float,
     max_steps: int | None = None,
+    step_factor: float = 1.0,
 ) -> MarchSchedule:
     """Unroll the reference's dist/diameter recurrence (fs:94-105) statically.
 
     Step count is O(log(max_distance/voxel) / log(1+2*tan)) — e.g. ~9 steps
     for the 60-degree diffuse cones and ~40 for the 0.07 specular cone at
     the 128^3/150-unit reference operating point.
+
+    step_factor < 1 advances by a fraction of the diameter (denser sampling
+    than the reference; used by shadow cones where the diameter-sized step
+    can tunnel through 1-voxel-thick occluders).  Sample opacity is then
+    corrected in composite() so total optical depth is preserved.
     """
     dists: List[float] = []
     diams: List[float] = []
@@ -80,7 +87,7 @@ def march_schedule(
         dists.append(dist)
         diams.append(diameter)
         lods.append(math.log2(diameter / voxel_world_size))
-        dist += diameter
+        dist += diameter * step_factor
         if max_steps is not None and len(dists) >= max_steps:
             break
     return MarchSchedule(
@@ -90,6 +97,7 @@ def march_schedule(
         dists=tuple(dists),
         diameters=tuple(diams),
         lods=tuple(lods),
+        step_factor=step_factor,
     )
 
 
@@ -152,11 +160,21 @@ def composite(
     diameters: Sequence[float],       # (K,) static
     max_alpha: float = 0.95,
     occlusion_falloff: float = 0.03,
+    step_factor: float = 1.0,
 ) -> Tuple[Array, Array, Array]:
     """Parallel front-to-back composite matching fs:100-103 exactly.
 
+    step_factor != 1 applies opacity correction a' = 1-(1-a)^step_factor so
+    denser sampling preserves optical depth (and scales emission likewise).
     Returns (color (...,3), occlusion (...), alpha (...)).
     """
+    if step_factor != 1.0:
+        keep = (1.0 - alphas) ** step_factor
+        scale = jnp.where(
+            alphas > 1e-6, (1.0 - keep) / jnp.maximum(alphas, 1e-6),
+            step_factor)
+        colors = colors * scale[..., None]
+        alphas = 1.0 - keep
     one_m = 1.0 - alphas
     # exclusive cumprod: T_k = prod_{j<k} (1 - a_j); T_0 = 1
     t_incl = jnp.cumprod(one_m, axis=-1)
@@ -197,7 +215,8 @@ def cone_march(
     samples = sample_schedule(mips, points, schedule.lods, world_size)
     return composite(
         samples[..., :3], samples[..., 3], schedule.diameters,
-        max_alpha=max_alpha, occlusion_falloff=occlusion_falloff)
+        max_alpha=max_alpha, occlusion_falloff=occlusion_falloff,
+        step_factor=schedule.step_factor)
 
 
 def cone_march_multi(

@@ -1,0 +1,148 @@
+"""Primary visibility: ray-cast G-buffer.
+
+Replaces the hardware rasterizer + VoxelConeTracing.vs interpolants
+(SURVEY.md §7.1): per-pixel rays intersect the triangle soup and the hit's
+barycentrics interpolate exactly the attributes the reference's vertex
+shader hands the fragment stage (Position_world, Normal_world,
+Tangent_world, BiTangent_world, tex; VoxelConeTracing.vs:25-36).
+
+Brute-force Möller–Trumbore over all triangles, chunked over rays via
+lax.map — fine for test scenes; large scenes use the tiled binned
+rasterizer (render/raster.py) instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vct_tpu.scene.mesh import Scene
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class GBuffer:
+    """Per-pixel surface attributes; invalid where ~hit."""
+
+    hit: Array            # (..., ) bool
+    t: Array              # (..., ) ray parameter
+    position: Array       # (..., 3) world
+    normal: Array         # (..., 3) shading normal (vertex-interpolated)
+    geo_normal: Array     # (..., 3) face normal
+    tangent: Array        # (..., 3)
+    bitangent: Array      # (..., 3)
+    uv: Array             # (..., 2)
+    material: Array       # (..., ) int32
+    tri: Array            # (..., ) int32
+
+
+@dataclasses.dataclass
+class DeviceScene:
+    """Scene geometry as device arrays (the renderer's working set)."""
+
+    v0: Array            # (T, 3)
+    e1: Array            # (T, 3)
+    e2: Array            # (T, 3)
+    vn: Array            # (T, 3, 3) per-corner normals
+    vt: Array            # (T, 3, 3) tangents
+    vb: Array            # (T, 3, 3) bitangents
+    vuv: Array           # (T, 3, 2)
+    face_normal: Array   # (T, 3)
+    material: Array      # (T,) int32
+
+    @staticmethod
+    def from_scene(scene: Scene, dtype=jnp.float32) -> "DeviceScene":
+        tv = scene.triangle_vertices()
+        idx = scene.indices
+        return DeviceScene(
+            v0=jnp.asarray(tv[:, 0], dtype),
+            e1=jnp.asarray(tv[:, 1] - tv[:, 0], dtype),
+            e2=jnp.asarray(tv[:, 2] - tv[:, 0], dtype),
+            vn=jnp.asarray(scene.normals[idx], dtype),
+            vt=jnp.asarray(scene.tangents[idx], dtype),
+            vb=jnp.asarray(scene.bitangents[idx], dtype),
+            vuv=jnp.asarray(scene.uvs[idx], dtype),
+            face_normal=jnp.asarray(scene.face_normals(), dtype),
+            material=jnp.asarray(scene.tri_material, jnp.int32),
+        )
+
+
+def _intersect_chunk(origins: Array, dirs: Array, ds: DeviceScene,
+                     eps: float = 1e-7) -> Tuple[Array, Array, Array, Array]:
+    """Möller–Trumbore, all rays x all triangles.
+
+    origins/dirs: (N, 3). Returns (t, u, v, tri_idx) with t=inf for miss.
+    """
+    pvec = jnp.cross(dirs[:, None, :], ds.e2[None, :, :])       # (N, T, 3)
+    det = jnp.sum(pvec * ds.e1[None], axis=-1)                   # (N, T)
+    inv_det = jnp.where(jnp.abs(det) > eps, 1.0 / det, 0.0)
+    tvec = origins[:, None, :] - ds.v0[None]
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, ds.e1[None, :, :])
+    v = jnp.sum(dirs[:, None, :] * qvec, axis=-1) * inv_det
+    t = jnp.sum(ds.e2[None] * qvec, axis=-1) * inv_det
+    valid = ((jnp.abs(det) > eps) & (u >= 0) & (v >= 0) & (u + v <= 1)
+             & (t > 1e-4))
+    t = jnp.where(valid, t, jnp.inf)
+    tri = jnp.argmin(t, axis=-1)                                 # (N,)
+    n = origins.shape[0]
+    rows = jnp.arange(n)
+    return t[rows, tri], u[rows, tri], v[rows, tri], tri
+
+
+def raycast(ds: DeviceScene, origins: Array, dirs: Array,
+            chunk_size: int = 4096) -> GBuffer:
+    """Closest-hit G-buffer for rays of any batch shape (..., 3)."""
+    shape = origins.shape[:-1]
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+    n = o.shape[0]
+    pad = (-n) % chunk_size
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+
+    def chunk_fn(args):
+        return _intersect_chunk(args[0], args[1], ds)
+
+    t, u, v, tri = jax.lax.map(
+        chunk_fn,
+        (o.reshape(-1, chunk_size, 3), d.reshape(-1, chunk_size, 3)))
+    t, u, v, tri = (x.reshape(-1)[:n] for x in (t, u, v, tri))
+    o, d = o[:n], d[:n]
+
+    hit = jnp.isfinite(t)
+    ts = jnp.where(hit, t, 0.0)
+    w0 = (1.0 - u - v)[:, None]
+    uu, vv = u[:, None], v[:, None]
+
+    def interp(attr):   # (T, 3, C) -> (N, C)
+        a = attr[tri]
+        return w0 * a[:, 0] + uu * a[:, 1] + vv * a[:, 2]
+
+    normal = interp(ds.vn)
+    normal = normal / jnp.maximum(
+        jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
+
+    def reshape(x):
+        return x.reshape(shape + x.shape[1:])
+
+    return GBuffer(
+        hit=reshape(hit),
+        t=reshape(ts),
+        position=reshape(o + ts[:, None] * d),
+        normal=reshape(normal),
+        geo_normal=reshape(ds.face_normal[tri]),
+        tangent=reshape(interp(ds.vt)),
+        bitangent=reshape(interp(ds.vb)),
+        uv=reshape(interp(ds.vuv)),
+        material=reshape(ds.material[tri]),
+        tri=reshape(tri.astype(jnp.int32)),
+    )
