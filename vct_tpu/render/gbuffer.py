@@ -43,9 +43,15 @@ class GBuffer:
     tri: Array            # (..., ) int32
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class DeviceScene:
-    """Scene geometry as device arrays (the renderer's working set)."""
+    """Scene geometry as device arrays (the renderer's working set).
+
+    Registered as a pytree so it can be passed as a jit ARGUMENT — never
+    close over device arrays in this environment: lowering embeds closure
+    constants by value, pulling them through the (slow) axon tunnel.
+    """
 
     v0: Array            # (T, 3)
     e1: Array            # (T, 3)
