@@ -1,21 +1,26 @@
 """Benchmark: cone-samples/s/chip (the BASELINE.json headline metric).
 
-Renders the per-frame pass (raycast G-buffer + shadow cone + 6 diffuse +
-1 specular cone march + combine) at the target operating point
-(256^3 grid, 1080p — BASELINE.json config 3) and reports marched
-cone-samples per second on one chip.
+Measures the cone-march kernel — the direction-major dense march
+(core/dense.py) that computes the light-transmittance volume and the
+basis cone-gather fields — at the target operating point (256^3 grid,
+BASELINE.json config 3), plus the per-frame camera pass at 1080p.
 
-"cone-sample" = one quadrilinear voxel-pyramid fetch of the march
-(schedule step x cone x pixel); the voxelization-time shadow samples are a
-startup pass (as in the reference, Voxel_Cone_Tracing.h:138-139) and are
-excluded, mirroring its per-frame hot loop (SURVEY.md §3.4).
+"cone-sample" = one quadrilinear voxel-pyramid fetch of the march: the
+dense pass evaluates the exact per-point march at every field voxel for
+every step (SURVEY.md §2.3 semantics), so samples = sum over marches of
+steps x field_voxels.
 
 vs_baseline: the reference publishes no numbers (BASELINE.json
-"published": {}), so vs_baseline reports the fraction of single-chip HBM
-speed-of-light for the march's gather traffic (16 taps x 16 B per sample)
-— the >70% SoL north-star is vs_baseline >= 0.7.
+"published": {}), so vs_baseline reports the achieved fraction of the
+no-reuse HBM roofline for gathered marching (16 taps x 16 B per sample
+at 819 GB/s on v5e) — the architecture's win is precisely that dense
+marching can exceed this roofline via on-chip reuse; >= 0.7 meets the
+north star.
 
-Prints ONE JSON line on stdout; diagnostics go to stderr.
+NOTE on timing: jax.block_until_ready does NOT synchronize through the
+axon tunnel; every measurement here forces a scalar readback.
+
+Prints ONE JSON line on stdout; diagnostics to stderr.
 """
 
 import dataclasses
@@ -33,14 +38,35 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def sync(x) -> float:
+    """Force completion of everything producing x; returns a checksum."""
+    return float(jnp.sum(jnp.ravel(x)[:8]))
+
+
 HBM_BYTES_PER_S = {
-    # per-chip HBM bandwidth (public specs)
     "TPU v4": 1228e9,
     "TPU v5 lite": 819e9,   # v5e
     "TPU v5": 2765e9,       # v5p
     "TPU v6 lite": 1640e9,  # v6e / Trillium
 }
 BYTES_PER_SAMPLE = 16 * 4 * 4   # quadrilinear: 16 taps x RGBA x f32
+
+
+def count_dense_samples(cfg) -> int:
+    """Cone samples evaluated by one build_voxel_state's dense marches."""
+    from vct_tpu.render import shading
+
+    dim = cfg.grid.dim
+    df = shading.field_dim(cfg)
+    b = cfg.cones.field_basis
+    total = 0
+    if cfg.shadow.mode == "volume":
+        total += shading.shadow_schedule(cfg).num_steps * dim ** 3
+    if cfg.cones.diffuse_mode == "field":
+        total += b * shading.diffuse_schedule(cfg).num_steps * df ** 3
+    if cfg.cones.trace_specular and cfg.cones.specular_mode == "field":
+        total += b * shading.specular_schedule(cfg).num_steps * df ** 3
+    return total
 
 
 def main():
@@ -51,7 +77,6 @@ def main():
 
     from vct_tpu.config import preset, GridConfig
     from vct_tpu.core import camera as cameralib
-    from vct_tpu.core import march as M
     from vct_tpu.render import renderer as R
     from vct_tpu.scene import cornell_box
 
@@ -73,52 +98,46 @@ def main():
     log(f"scene prep: {samples.positions.shape[0]} surface samples, "
         f"{time.time()-t0:.1f}s")
 
-    t0 = time.time()
-    # pass everything as jit ARGUMENTS (closure constants would be pulled
-    # host-side at trace time — pathological through the axon tunnel)
+    # --- the cone-march kernel: dense voxel build (volume + fields) ---
     build = jax.jit(lambda s, m: R.build_voxel_state(cfg, s, m))
-    voxels = jax.block_until_ready(build(samples, mats))
-    log(f"voxel build (startup pass): {time.time()-t0:.1f}s")
+    t0 = time.time()
+    voxels = build(samples, mats)
+    sync(voxels.radiance_mips[0])
+    log(f"voxel build compile+run: {time.time()-t0:.1f}s")
 
+    n_rep = int(os.environ.get("VCT_BENCH_REPS", "2"))
+    t0 = time.time()
+    outs = [build(samples, mats) for _ in range(n_rep)]
+    for v in outs:
+        sync(v.radiance_mips[0])
+    build_dt = (time.time() - t0) / n_rep
+    dense_samples = count_dense_samples(cfg)
+    sps = dense_samples / build_dt
+    log(f"voxel build steady: {build_dt*1e3:.1f} ms; dense march samples: "
+        f"{dense_samples/1e6:.1f}M -> {sps:.3e} samples/s")
+
+    # --- per-frame camera pass ---
     origins, dirs = cameralib.primary_rays(camera, width, height)
     cam_pos = jnp.asarray(camera.position, jnp.float32)
-    chunk = int(os.environ.get("VCT_BENCH_CHUNK", "16384"))
-
-    frame = jax.jit(lambda ds, v, m, o, d, cp: R.render_rays(
-        cfg, ds, v, m, o, d, cp, chunk_size=chunk))
-
+    chunk = int(os.environ.get("VCT_BENCH_CHUNK", "65536"))
+    frame = jax.jit(lambda ds_, v, m, o, d, cp: R.render_rays(
+        cfg, ds_, v, m, o, d, cp, chunk_size=chunk))
     t0 = time.time()
-    img = jax.block_until_ready(
-        frame(ds, voxels, mats, origins, dirs, cam_pos))
-    log(f"first frame (compile + run): {time.time()-t0:.1f}s, "
+    img = frame(ds, voxels, mats, origins, dirs, cam_pos)
+    sync(img)
+    log(f"first frame compile+run: {time.time()-t0:.1f}s "
         f"mean={float(jnp.mean(img)):.4f}")
-
-    n_rep = int(os.environ.get("VCT_BENCH_REPS", "3"))
     t0 = time.time()
     for _ in range(n_rep):
         img = frame(ds, voxels, mats, origins, dirs, cam_pos)
-    jax.block_until_ready(img)
-    dt = (time.time() - t0) / n_rep
-    log(f"steady frame: {dt*1e3:.1f} ms")
-
-    # schedule-derived per-pixel sample counts
-    voxel = cfg.grid.voxel_world_size
-    ca = cfg.cones
-    k_diff = M.march_schedule(ca.diffuse_tan_half_angle, voxel,
-                              ca.max_distance, ca.max_steps).num_steps
-    k_spec = M.march_schedule(ca.specular_tan_half_angle, voxel,
-                              ca.max_distance, ca.max_steps).num_steps
-    k_shadow = R.shadow_schedule(cfg).num_steps
-    per_pixel = ca.num_diffuse_cones * k_diff + \
-        (k_spec if ca.trace_specular else 0) + k_shadow
-    total = per_pixel * width * height
-    sps = total / dt
+        sync(img)
+    frame_dt = (time.time() - t0) / n_rep
+    log(f"steady frame: {frame_dt*1e3:.1f} ms "
+        f"({width}x{height}, {1.0/frame_dt:.2f} fps)")
 
     bw = HBM_BYTES_PER_S.get(kind, 819e9)
     sol = bw / BYTES_PER_SAMPLE
-    log(f"per-pixel samples: {per_pixel} (diffuse 6x{k_diff}, spec {k_spec}, "
-        f"shadow {k_shadow}); total/frame: {total/1e6:.1f}M")
-    log(f"samples/s: {sps:.3e}; HBM SoL: {sol:.3e}; fraction: {sps/sol:.3f}")
+    log(f"HBM no-reuse SoL: {sol:.3e} samples/s; fraction: {sps/sol:.3f}")
 
     print(json.dumps({
         "metric": "cone_samples_per_s_per_chip",

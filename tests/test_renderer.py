@@ -166,7 +166,7 @@ class TestDifferentiability:
 
         def loss(lit0):
             mips = G.build_mips(lit0, cfg.grid.num_levels)
-            vs2 = R.VoxelState(radiance_mips=mips, unlit_mips=vs.unlit_mips)
+            vs2 = dataclasses.replace(vs, radiance_mips=mips)
             img = R.render_rays(cfg, ds, vs2, mats, origins, dirs, cam_pos)
             return jnp.mean(img)
 

@@ -50,6 +50,20 @@ class ConeSetConfig:
     num_diffuse_cones: int = 6       # fs:46
     trace_specular: bool = True
     max_steps: Optional[int] = None  # cap on march steps; None = schedule-derived
+    # Cone evaluation strategy (SURVEY.md §7.1):
+    #  "percone": march per pixel — the reference's exact fragment-shader
+    #    semantics (gather-heavy; the parity oracle).
+    #  "field": direction-major dense marches (core/dense.py) precompute
+    #    cone-gather fields over a world-direction basis; per pixel the
+    #    cones interpolate the fields at one position — exact at voxel
+    #    centers, trilinear+spherical interpolation elsewhere; the
+    #    TPU-native fast path (no arbitrary gathers in the march).
+    diffuse_mode: str = "percone"    # "percone" | "field"
+    specular_mode: str = "percone"   # "percone" | "field"
+    field_basis: int = 26            # direction-basis size for field mode
+    field_dim: Optional[int] = None  # field resolution; None = min(grid, 128)
+    basis_power_diffuse: float = 8.0     # spherical interp sharpness
+    basis_power_specular: float = 32.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,13 +79,17 @@ class LightConfig:
 class ShadowConfig:
     """Shadow computation.
 
-    mode="cone": differentiable shadow cone through the occupancy pyramid
-      (the TPU-native replacement for the depth map; BASELINE.json north star).
-    mode="map": rasterized depth from the light + PCF, matching the reference
-      (Voxel_Cone_Tracing.h:81-105, VoxelConeTracing.fs:132-163).
+    mode="volume": dense directional march (core/dense.py) computes the
+      light-transmittance volume once per scene+light; every shadow query is
+      one trilinear tap.  Exact cone-shadow values at voxel centers; the
+      TPU-native replacement for the 4096^2 depth map (and the default).
+    mode="percone": an explicit shadow cone marched from every query point —
+      identical math, per-query cost (the oracle for "volume").
+    mode="map": rasterized depth from the light + PCF, matching the
+      reference (Voxel_Cone_Tracing.h:81-105, VoxelConeTracing.fs:132-163).
     """
 
-    mode: str = "cone"               # "cone" | "map"
+    mode: str = "volume"             # "volume" | "percone" | "map"
     # cone mode
     tan_half_angle: float = 0.03     # narrow cone toward the light
     normal_offset: float = 2.0       # start offset in voxel widths
@@ -174,8 +192,11 @@ def preset(name: str) -> VCTConfig:
         )
     if name == "sponza256":
         # Config 3: Sponza-class scene, shadow cones, 256^3 grid, 1080p.
+        # Field-mode GI: the TPU-native fast path (volume shadows + basis
+        # fields); percone remains available for parity runs.
         return VCTConfig(
             grid=GridConfig(dim=256),
+            cones=ConeSetConfig(diffuse_mode="field", specular_mode="field"),
             render=RenderConfig(width=1920, height=1080),
         )
     if name == "inverse":

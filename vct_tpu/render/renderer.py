@@ -83,11 +83,16 @@ class SamplesDevice:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class VoxelState:
-    """The voxel pyramids: lit radiance (sampled by the camera-pass cones)
-    and unlit albedo/occupancy (sampled by shadow cones)."""
+    """The voxel pyramids + optional dense direction-major products:
+    radiance mips (camera-pass cones), unlit albedo/occupancy mips (shadow
+    cones), the light transmittance volume (shadow mode "volume"), and
+    cone-gather fields for the direction basis (cone modes "field")."""
 
     radiance_mips: Tuple[Array, ...]
     unlit_mips: Tuple[Array, ...]
+    light_volume: Optional[Array] = None      # (D, D, D, 1)
+    diffuse_field: Optional[Array] = None     # (df, df, df, B*4)
+    specular_field: Optional[Array] = None    # (df, df, df, B*4)
 
 
 def prepare_scene(cfg: VCTConfig, scene: Scene):
@@ -100,14 +105,7 @@ def prepare_scene(cfg: VCTConfig, scene: Scene):
     return ds, mats, SamplesDevice.from_samples(samples)
 
 
-def shadow_schedule(cfg: VCTConfig) -> M.MarchSchedule:
-    """Shadow-cone schedule: full-grid reach, denser steps (ShadowConfig)."""
-    md = cfg.shadow.max_distance
-    if md is None:
-        md = 3.0 ** 0.5 * cfg.grid.world_size
-    return M.march_schedule(
-        cfg.shadow.tan_half_angle, cfg.grid.voxel_world_size, md,
-        cfg.cones.max_steps, step_factor=cfg.shadow.step_factor)
+shadow_schedule = shading.shadow_schedule
 
 
 def light_direction(cfg: VCTConfig, dtype=jnp.float32) -> Array:
@@ -148,16 +146,37 @@ def build_voxel_state(
     # thin occluders diluted by mean-reduction (see grid.downsample2x)
     unlit_mips = G.build_mips(unlit, cfg.grid.num_levels, alpha_mode="max")
 
-    sched = shadow_schedule(cfg)
-    shadow = shading.shadow_cone_value(
-        unlit_mips, samples.positions, samples.normals, light_dir, sched, cfg)
+    light_volume = None
+    if cfg.shadow.mode == "volume":
+        # dense light-transmittance volume; per-sample shadow is one tap
+        light_volume = shading.build_light_volume(cfg, unlit_mips)
+        shadow = shading.shadow_volume_tap(
+            cfg, light_volume, samples.positions, samples.normals)
+    else:
+        shadow = shading.shadow_cone_value(
+            unlit_mips, samples.positions, samples.normals, light_dir,
+            shading.shadow_schedule(cfg), cfg)
 
     radiance = albedo[:, :3] * light_color * shadow[:, None] + emissive
     lit = splat(samples.positions, radiance, weights, dim, ws,
                 mode=cfg.voxelize.mode)
+    radiance_mips = G.build_mips(lit, cfg.grid.num_levels)
+
+    diffuse_field = None
+    if cfg.cones.diffuse_mode == "field":
+        diffuse_field = shading.build_cone_field(
+            cfg, radiance_mips, shading.diffuse_schedule(cfg))
+    specular_field = None
+    if cfg.cones.trace_specular and cfg.cones.specular_mode == "field":
+        specular_field = shading.build_cone_field(
+            cfg, radiance_mips, shading.specular_schedule(cfg))
+
     return VoxelState(
-        radiance_mips=G.build_mips(lit, cfg.grid.num_levels),
+        radiance_mips=radiance_mips,
         unlit_mips=unlit_mips,
+        light_volume=light_volume,
+        diffuse_field=diffuse_field,
+        specular_field=specular_field,
     )
 
 
@@ -176,22 +195,48 @@ def shade_gbuffer(
     albedo4 = mats.albedo[gbuf.material]                 # (..., 4)
     spec = shading.spec_gray_fallback(mats.specular[gbuf.material])
 
-    sched = shadow_schedule(cfg)
-    shadow = shading.shadow_cone_value(
-        voxels.unlit_mips, gbuf.position, gbuf.geo_normal, light_dir,
-        sched, cfg)
+    if cfg.shadow.mode == "volume":
+        shadow = shading.shadow_volume_tap(
+            cfg, voxels.light_volume, gbuf.position, gbuf.geo_normal)
+    else:
+        shadow = shading.shadow_cone_value(
+            voxels.unlit_mips, gbuf.position, gbuf.geo_normal, light_dir,
+            shading.shadow_schedule(cfg), cfg)
 
-    rgb = shading.shade(
-        cfg, voxels.radiance_mips,
-        position=gbuf.position,
-        normal=gbuf.normal,
-        tangent=gbuf.tangent,
-        bitangent=gbuf.bitangent,
+    cone_dirs = shading.pixel_cone_dirs(
+        cfg, gbuf.normal, gbuf.tangent, gbuf.bitangent)
+    if cfg.cones.diffuse_mode == "field":
+        ind_d_rgb, ind_d_occ = shading.indirect_diffuse_field(
+            cfg, voxels.diffuse_field, gbuf.position, gbuf.normal, cone_dirs)
+    else:
+        ind_d_rgb, ind_d_occ = shading.indirect_diffuse_percone(
+            cfg, voxels.radiance_mips, gbuf.position, gbuf.normal, cone_dirs)
+
+    eye = shading.C.normalize(camera_position - gbuf.position)   # fs:183
+    if cfg.cones.trace_specular:
+        refl = shading.reflect_eye(gbuf.normal, eye)
+        if cfg.cones.specular_mode == "field":
+            ind_s_rgb, ind_s_occ = shading.indirect_specular_field(
+                cfg, voxels.specular_field, gbuf.position, gbuf.normal, refl)
+        else:
+            ind_s_rgb, ind_s_occ = shading.indirect_specular_percone(
+                cfg, voxels.radiance_mips, gbuf.position, gbuf.normal, refl)
+    else:
+        ind_s_rgb = jnp.zeros_like(ind_d_rgb)
+        ind_s_occ = jnp.zeros_like(ind_d_occ)
+
+    rgb = shading.combine(
+        cfg,
         albedo=albedo4[..., :3],
         spec_color=spec,
-        shadow=shadow,
-        camera_position=camera_position,
+        normal=gbuf.normal,
         light_dir=light_dir,
+        eye_dir=eye,
+        shadow=shadow,
+        ind_diffuse_rgb=ind_d_rgb,
+        ind_diffuse_occ=ind_d_occ,
+        ind_spec_rgb=ind_s_rgb,
+        ind_spec_occ=ind_s_occ,
         shininess=cfg.render.shininess,
     )
     # alpha-mask discard (fs:169-172) + miss -> background

@@ -1,4 +1,5 @@
-"""Shading combine — the math of VoxelConeTracing.fs:165-228 as array ops.
+"""Shading: indirect-term providers (percone / field) + the combine of
+VoxelConeTracing.fs:165-228.
 
 Direct diffuse + shadow, 6-cone indirect diffuse with cone-traced ambient
 occlusion, Phong direct specular + 1-cone indirect specular, ambient term.
@@ -10,29 +11,68 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vct_tpu.config import VCTConfig
 from vct_tpu.core import cones as C
+from vct_tpu.core import dense as D
+from vct_tpu.core import grid as G
 from vct_tpu.core import march as M
 
 Array = jax.Array
 
 
+# ---------------------------------------------------------------------------
+# schedules (all static from config)
+# ---------------------------------------------------------------------------
+
+def diffuse_schedule(cfg: VCTConfig) -> M.MarchSchedule:
+    ca = cfg.cones
+    return M.march_schedule(ca.diffuse_tan_half_angle,
+                            cfg.grid.voxel_world_size, ca.max_distance,
+                            ca.max_steps)
+
+
+def specular_schedule(cfg: VCTConfig) -> M.MarchSchedule:
+    ca = cfg.cones
+    return M.march_schedule(ca.specular_tan_half_angle,
+                            cfg.grid.voxel_world_size, ca.max_distance,
+                            ca.max_steps)
+
+
+def shadow_schedule(cfg: VCTConfig) -> M.MarchSchedule:
+    """Shadow cones traverse the WHOLE grid (occluders can be anywhere),
+    with denser steps (ShadowConfig.step_factor)."""
+    md = cfg.shadow.max_distance
+    if md is None:
+        md = 3.0 ** 0.5 * cfg.grid.world_size
+    return M.march_schedule(
+        cfg.shadow.tan_half_angle, cfg.grid.voxel_world_size, md,
+        cfg.cones.max_steps, step_factor=cfg.shadow.step_factor)
+
+
+def field_dim(cfg: VCTConfig) -> int:
+    if cfg.cones.field_dim is not None:
+        return cfg.cones.field_dim
+    return min(cfg.grid.dim, 128)
+
+
+# ---------------------------------------------------------------------------
+# shadow providers
+# ---------------------------------------------------------------------------
+
 def shadow_cone_value(
     mips: Sequence[Array],
     position: Array,             # (..., 3) surface point
     normal: Array,               # (..., 3)
-    light_dir: Array,            # (3,) normalized, pointing toward the light
+    light_dir: Array,            # (3,) normalized, toward the light
     schedule: M.MarchSchedule,
     cfg: VCTConfig,
 ) -> Array:
-    """Differentiable soft shadow: transmittance of a narrow cone toward the
-    light through the occupancy pyramid.  Replaces the 4096^2 depth map +
-    PCF (VoxelConeTracing.fs:132-163) per BASELINE.json's north star.
-
-    Unlike the gather cones this only needs transmittance, so it composites
-    T = prod(1 - a') directly, with per-sample opacity gain (see
-    ShadowConfig.opacity_gain) and step-density opacity correction.
+    """Per-query shadow cone (mode="percone"): transmittance of a narrow
+    cone toward the light through the occupancy pyramid, with per-sample
+    opacity gain (ShadowConfig.opacity_gain) and step-density correction.
+    Replaces the 4096^2 depth map + PCF (VoxelConeTracing.fs:132-163).
     Returns shadow in [0,1], 1 = fully lit.
     """
     voxel = cfg.grid.voxel_world_size
@@ -52,45 +92,160 @@ def shadow_cone_value(
     return jnp.prod(keep, axis=-1)
 
 
-def shade(
+def build_light_volume(cfg: VCTConfig, unlit_mips: Sequence[Array],
+                       light_dir=None) -> Array:
+    """Dense light-transmittance volume at full grid resolution
+    (mode="volume"). Exact shadow_cone_value at every voxel center.
+
+    The march direction must be STATIC (the dense pass's shifts are
+    compile-time constants); defaults to the config light.  A traced
+    light direction (e.g. when optimizing it) requires shadow mode
+    "percone" instead.
+    """
+    if light_dir is None:
+        light_dir = cfg.light.direction
+    try:
+        d = np.asarray(light_dir, np.float64)
+    except Exception as e:
+        raise ValueError(
+            "shadow mode 'volume' needs a static (non-traced) light "
+            "direction; use shadow mode 'percone' to differentiate or "
+            "vary the light direction at runtime") from e
+    d = d / np.linalg.norm(d)
+    return D.directional_march(
+        unlit_mips, d, shadow_schedule(cfg),
+        cfg.grid.world_size, field_dim=cfg.grid.dim,
+        opacity_gain=cfg.shadow.opacity_gain, transmittance_only=True)
+
+
+def shadow_volume_tap(cfg: VCTConfig, light_volume: Array, position: Array,
+                      normal: Array) -> Array:
+    """One trilinear tap of the transmittance volume at the offset surface
+    point — the volumetric analogue of the reference's shadow-map lookup."""
+    voxel = cfg.grid.voxel_world_size
+    p = position + normal * (voxel * cfg.shadow.normal_offset)
+    uvw = G.world_to_uvw(p, cfg.grid.world_size)
+    return G.trilinear_sample(light_volume, uvw)[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# indirect providers
+# ---------------------------------------------------------------------------
+
+def pixel_cone_dirs(cfg: VCTConfig, normal: Array, tangent: Array,
+                    bitangent: Array) -> Array:
+    """World-space diffuse cone directions per pixel: normalize(TBN @ dir_i)
+    — fs:175,198. Returns (..., K, 3)."""
+    tbn = C.tbn_matrix(tangent, bitangent, normal)
+    return C.rotate_cones(
+        tbn, jnp.asarray(C.CONE_DIRECTIONS[: cfg.cones.num_diffuse_cones]))
+
+
+def indirect_diffuse_percone(
+    cfg: VCTConfig, mips: Sequence[Array], position: Array, normal: Array,
+    cone_dirs: Array,
+) -> Tuple[Array, Array]:
+    """Exact per-pixel 6-cone gather (fs:196-199)."""
+    ca = cfg.cones
+    start = position + normal * cfg.grid.voxel_world_size    # fs:92
+    weights = tuple(float(w) for w in C.CONE_WEIGHTS[: ca.num_diffuse_cones])
+    return M.cone_march_multi(
+        mips, start, cone_dirs, weights, diffuse_schedule(cfg),
+        cfg.grid.world_size, max_alpha=ca.max_alpha,
+        occlusion_falloff=ca.occlusion_falloff)
+
+
+def build_cone_field(cfg: VCTConfig, mips: Sequence[Array],
+                     schedule: M.MarchSchedule) -> Array:
+    """Cone-gather fields for the direction basis, stacked channelwise:
+    (df, df, df, B*4) with per-direction (rgb, occlusion)."""
+    basis = D.direction_basis(cfg.cones.field_basis)
+    df = field_dim(cfg)
+    fields = [
+        D.directional_march(
+            mips, b, schedule, cfg.grid.world_size, field_dim=df,
+            max_alpha=cfg.cones.max_alpha,
+            occlusion_falloff=cfg.cones.occlusion_falloff)
+        for b in basis
+    ]
+    return jnp.concatenate(fields, axis=-1)
+
+
+def _field_tap(cfg: VCTConfig, field: Array, position: Array,
+               normal: Array) -> Array:
+    """Trilinear tap of the stacked fields at the offset point: (..., B, 4)."""
+    p = position + normal * cfg.grid.voxel_world_size
+    uvw = G.world_to_uvw(p, cfg.grid.world_size)
+    out = G.trilinear_sample(field, uvw)
+    return out.reshape(out.shape[:-1] + (cfg.cones.field_basis, 4))
+
+
+def indirect_diffuse_field(
+    cfg: VCTConfig, field: Array, position: Array, normal: Array,
+    cone_dirs: Array,
+) -> Tuple[Array, Array]:
+    """Field-mode 6-cone gather: fold the cone weights and the spherical
+    basis weights into one (..., B) weight vector, then one field tap."""
+    basis = D.direction_basis(cfg.cones.field_basis)
+    ca = cfg.cones
+    wb = D.basis_weights(cone_dirs, basis, ca.basis_power_diffuse)  # (...,K,B)
+    cw = jnp.asarray(C.CONE_WEIGHTS[: ca.num_diffuse_cones])
+    w = jnp.einsum("k,...kb->...b", cw, wb)                          # (..., B)
+    tap = _field_tap(cfg, field, position, normal)                   # (...,B,4)
+    out = jnp.einsum("...b,...bc->...c", w, tap)
+    return out[..., :3], out[..., 3]
+
+
+def indirect_specular_percone(
+    cfg: VCTConfig, mips: Sequence[Array], position: Array, normal: Array,
+    refl_dir: Array,
+) -> Tuple[Array, Array]:
+    ca = cfg.cones
+    start = position + normal * cfg.grid.voxel_world_size
+    rgb, occ, _ = M.cone_march(
+        mips, start, refl_dir, specular_schedule(cfg), cfg.grid.world_size,
+        max_alpha=ca.max_alpha, occlusion_falloff=ca.occlusion_falloff)
+    return rgb, occ
+
+
+def indirect_specular_field(
+    cfg: VCTConfig, field: Array, position: Array, normal: Array,
+    refl_dir: Array,
+) -> Tuple[Array, Array]:
+    basis = D.direction_basis(cfg.cones.field_basis)
+    w = D.basis_weights(refl_dir, basis, cfg.cones.basis_power_specular)
+    tap = _field_tap(cfg, field, position, normal)
+    out = jnp.einsum("...b,...bc->...c", w, tap)
+    return out[..., :3], out[..., 3]
+
+
+# ---------------------------------------------------------------------------
+# the combine (fs:165-228)
+# ---------------------------------------------------------------------------
+
+def combine(
     cfg: VCTConfig,
-    mips: Sequence[Array],       # radiance pyramid
-    position: Array,             # (..., 3)
-    normal: Array,               # (..., 3) shading normal (bump-mapped or interpolated)
-    tangent: Array,              # (..., 3)
-    bitangent: Array,            # (..., 3)
     albedo: Array,               # (..., 3)
     spec_color: Array,           # (..., 3) after gray-fallback
-    shadow: Array,               # (..., ) shadow value at the surface
-    camera_position: Array,      # (3,)
-    light_dir: Array,            # (3,) normalized
+    normal: Array,               # (..., 3) shading normal
+    light_dir: Array,            # (3,)
+    eye_dir: Array,              # (..., 3) normalize(camera - P), fs:183
+    shadow: Array,               # (...,)
+    ind_diffuse_rgb: Array,      # (..., 3)
+    ind_diffuse_occ: Array,      # (...,)
+    ind_spec_rgb: Array,         # (..., 3)
+    ind_spec_occ: Array,         # (...,)
     shininess: float,
 ) -> Array:
-    """Full combine (fs:165-228). Returns linear RGB (..., 3)."""
-    voxel = cfg.grid.voxel_world_size
-    ws = cfg.grid.world_size
-    ca = cfg.cones
-
     n = C.normalize(normal)
     l = light_dir
-    e = C.normalize(camera_position - position)      # fs:36 + :183
+    e = eye_dir
 
     # DIFFUSE — fs:186-205
     cos_theta = jnp.maximum(jnp.sum(n * l, axis=-1), 0.0)
     direct_diffuse = shadow * cos_theta
     if not cfg.render.show_diffuse:
         direct_diffuse = jnp.zeros_like(direct_diffuse)
-
-    tbn = C.tbn_matrix(tangent, bitangent, n)        # fs:175
-    cone_dirs = C.rotate_cones(
-        tbn, jnp.asarray(C.CONE_DIRECTIONS[: ca.num_diffuse_cones]))
-    weights = tuple(float(w) for w in C.CONE_WEIGHTS[: ca.num_diffuse_cones])
-    sched_d = M.march_schedule(
-        ca.diffuse_tan_half_angle, voxel, ca.max_distance, ca.max_steps)
-    start = position + n * voxel                     # fs:92 normal offset
-    ind_diffuse_rgb, ind_diffuse_occ = M.cone_march_multi(
-        mips, start, cone_dirs, weights, sched_d, ws,
-        max_alpha=ca.max_alpha, occlusion_falloff=ca.occlusion_falloff)
     if not cfg.render.show_indirect_diffuse:
         ind_diffuse_rgb = jnp.zeros_like(ind_diffuse_rgb)
     occlusion = 1.0 - ind_diffuse_occ                # fs:201
@@ -106,18 +261,9 @@ def shade(
     direct_specular = spec * shadow
     if not cfg.render.show_specular:
         direct_specular = jnp.zeros_like(direct_specular)
-
-    if ca.trace_specular:
-        # reflect(-E, N) = 2*dot(N,E)*N - E
-        refl_e = C.normalize(
-            2.0 * jnp.sum(n * e, axis=-1, keepdims=True) * n - e)
-        sched_s = M.march_schedule(
-            ca.specular_tan_half_angle, voxel, ca.max_distance, ca.max_steps)
-        ind_spec_rgb, ind_spec_occ, _ = M.cone_march(
-            mips, start, refl_e, sched_s, ws,
-            max_alpha=ca.max_alpha, occlusion_falloff=ca.occlusion_falloff)
-        if not cfg.render.show_indirect_specular:
-            ind_spec_rgb = jnp.zeros_like(ind_spec_rgb)
+    if not cfg.render.show_indirect_specular:
+        ind_spec_rgb = jnp.zeros_like(ind_spec_rgb)
+    if cfg.cones.trace_specular:
         spec_occlusion = 1.0 - ind_spec_occ          # fs:221 (uses .a = occlusion)
         specular_reflection = (
             ind_spec_rgb + spec_occlusion[..., None] * direct_specular[..., None]
@@ -129,6 +275,13 @@ def shade(
     ambient = cfg.light.ambient_factor * albedo * occlusion[..., None]
 
     return ambient + diffuse_reflection + specular_reflection   # fs:227
+
+
+def reflect_eye(normal: Array, eye_dir: Array) -> Array:
+    """reflect(-E, N) = 2*dot(N,E)*N - E — the specular cone axis, fs:217."""
+    n = C.normalize(normal)
+    return C.normalize(
+        2.0 * jnp.sum(n * eye_dir, axis=-1, keepdims=True) * n - eye_dir)
 
 
 def spec_gray_fallback(spec: Array) -> Array:
