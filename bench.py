@@ -99,17 +99,18 @@ def main():
         f"{time.time()-t0:.1f}s")
 
     # --- the cone-march kernel: dense voxel build (volume + fields) ---
-    build = jax.jit(lambda s, m: R.build_voxel_state(cfg, s, m))
+    build = R.build_voxel_state_staged     # per-stage jit: compiles in seconds
     t0 = time.time()
-    voxels = build(samples, mats)
+    voxels = build(cfg, samples, mats)
     sync(voxels.radiance_mips[0])
     log(f"voxel build compile+run: {time.time()-t0:.1f}s")
 
     n_rep = int(os.environ.get("VCT_BENCH_REPS", "2"))
     t0 = time.time()
-    outs = [build(samples, mats) for _ in range(n_rep)]
-    for v in outs:
-        sync(v.radiance_mips[0])
+    for _ in range(n_rep):
+        v = build(cfg, samples, mats)
+        sync(v.radiance_mips[0])   # sync per rep; don't retain N VoxelStates
+        del v
     build_dt = (time.time() - t0) / n_rep
     dense_samples = count_dense_samples(cfg)
     sps = dense_samples / build_dt

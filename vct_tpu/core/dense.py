@@ -73,6 +73,154 @@ def sample_shifted(level: Array, df: int, shift_vox: Sequence[float]) -> Array:
     return out
 
 
+def _interp_matrix(i0: Array, i1: Array, f: Array, dl: int) -> Array:
+    """(df, dl) interpolation matrix W with W[r, i0[r]] += 1-f[r],
+    W[r, i1[r]] += f[r] — so W @ axis does take+lerp in one matmul."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, (i0.shape[0], dl), 1)
+    w0 = jnp.where(cols == i0[:, None], 1.0 - f[:, None], 0.0)
+    w1 = jnp.where(cols == i1[:, None], f[:, None], 0.0)
+    return w0 + w1                       # i0 == i1 accumulates, as intended
+
+
+def _take3(level: Array, i0: Array, i1: Array, f: Array, df: int) -> Array:
+    """Separable resample with traced per-axis index/weight vectors.
+    level (dl,dl,dl,C); i0,i1 (3,df) int32; f (3,df). -> (df,df,df,C).
+
+    Each axis is one (df, dl) x (dl, ...) contraction on the MXU — the
+    interpolation matrices are built on the fly from the index vectors, so
+    scan carries only O(df) metadata per step while the FLOPs ride the
+    systolic array instead of gather units.
+    """
+    dl = level.shape[0]
+    wx = _interp_matrix(i0[0], i1[0], f[0], dl)
+    wy = _interp_matrix(i0[1], i1[1], f[1], dl)
+    wz = _interp_matrix(i0[2], i1[2], f[2], dl)
+    out = jnp.einsum("ad,dyzc->ayzc", wx, level)
+    out = jnp.einsum("bd,adzc->abzc", wy, out)
+    out = jnp.einsum("ed,abdc->abec", wz, out)
+    return out
+
+
+def directional_march_multi(
+    mips: Sequence[Array],
+    directions,                          # (B, 3) static unit world directions
+    schedule: M.MarchSchedule,
+    world_size: float,
+    field_dim: Optional[int] = None,
+    max_alpha: float = 0.95,
+    occlusion_falloff: float = 0.03,
+    opacity_gain: float = 1.0,
+    transmittance_only: bool = False,
+) -> Array:
+    """March the cone schedule from EVERY field voxel center along each of B
+    fixed directions.  Returns (B, df, df, df, 4) = (color.rgb, occlusion)
+    per direction — the vec4 the reference's Voxel_Cone_Tracing returns
+    (fs:107) — or (B, df, df, df, 1) transmittance if transmittance_only.
+
+    Exactly the per-point march of core/march.py evaluated at all voxel
+    centers at once.  Compiled-code-size discipline: steps are grouped by
+    the (static) mip-level pair they sample, each group is ONE lax.scan
+    over its steps (shifts enter as traced index/weight vectors), and the
+    whole march is vmapped over directions — so the compiled size is
+    O(level pairs), independent of step count and direction count.
+    """
+    d0 = mips[0].shape[0]
+    df = field_dim or d0
+    dtype = mips[0].dtype
+    dirs = np.asarray(directions, np.float64)
+    assert dirs.ndim == 2 and dirs.shape[1] == 3
+    nb = dirs.shape[0]
+
+    plan = M._static_lod_plan(schedule.lods, len(mips))
+    # consecutive runs of the same (l0, l1_effective) level pair
+    groups: list = []
+    for k, (l0, l1, w) in enumerate(plan):
+        l1e = l1 if w > 0.0 and l1 != l0 else l0
+        if groups and groups[-1][0] == (l0, l1e):
+            groups[-1][1].append(k)
+        else:
+            groups.append(((l0, l1e), [k]))
+
+    def axis_pack(steps, lvl):
+        """(B, n, 3, df) i0/i1 int32 and f f32 for all steps at one level."""
+        dl = mips[lvl].shape[0]
+        i0s = np.empty((nb, len(steps), 3, df), np.int32)
+        i1s = np.empty_like(i0s)
+        fs = np.empty((nb, len(steps), 3, df), np.float32)
+        for b in range(nb):
+            for n, k in enumerate(steps):
+                shift = dirs[b] * schedule.dists[k] / (world_size / dl)
+                for ax in range(3):
+                    i0, i1, f = _axis_indices(df, dl, float(shift[ax]))
+                    i0s[b, n, ax] = i0
+                    i1s[b, n, ax] = i1
+                    fs[b, n, ax] = f
+        return jnp.asarray(i0s), jnp.asarray(i1s), jnp.asarray(fs)
+
+    def march_one(xs_groups):
+        t = jnp.ones((df, df, df, 1), dtype)
+        color = None if transmittance_only else jnp.zeros((df, df, df, 3),
+                                                          dtype)
+        occ = None if transmittance_only else jnp.zeros((df, df, df, 1),
+                                                        dtype)
+        for ((l0, l1), steps), xs in zip(groups, xs_groups):
+            two = l1 != l0
+            la, lb = mips[l0], mips[l1]
+
+            def body(carry, x, two=two, la=la, lb=lb):
+                s = _take3(la, x["a"][0], x["a"][1], x["a"][2], df)
+                if two:
+                    s1 = _take3(lb, x["b"][0], x["b"][1], x["b"][2], df)
+                    s = s * (1.0 - x["w"]) + s1 * x["w"]
+                a = s[..., -1:]
+                if opacity_gain != 1.0:
+                    a = jnp.minimum(a * opacity_gain, 1.0)
+                if schedule.step_factor != 1.0:
+                    keep = (1.0 - a) ** schedule.step_factor
+                else:
+                    keep = 1.0 - a
+                if transmittance_only:
+                    return (carry[0] * keep,), None
+                t, color, occ = carry
+                # loop-top early-out (fs:94): stop once 1-T >= max_alpha
+                active = (1.0 - t) < max_alpha
+                wgt = jnp.where(active, t, 0.0)
+                color = color + wgt * s[..., :3]
+                occ = occ + wgt * a / x["atten"]
+                t = jnp.where(active, t * keep, t)
+                return (t, color, occ), None
+
+            carry = (t,) if transmittance_only else (t, color, occ)
+            if len(steps) == 1:
+                carry, _ = body(carry, jax.tree_util.tree_map(
+                    lambda v: v[0], xs))
+            else:
+                carry, _ = jax.lax.scan(body, carry, xs)
+            if transmittance_only:
+                (t,) = carry
+            else:
+                t, color, occ = carry
+        if transmittance_only:
+            return t
+        return jnp.concatenate([color, occ], axis=-1)
+
+    # pack per-group xs with a leading direction axis, vmap the march
+    xs_all = []
+    for (l0, l1), steps in groups:
+        xs = {"a": axis_pack(steps, l0)}
+        if l1 != l0:
+            xs["b"] = axis_pack(steps, l1)
+            xs["w"] = jnp.tile(
+                jnp.asarray([plan[k][2] for k in steps], jnp.float32),
+                (nb, 1))
+        xs["atten"] = jnp.tile(jnp.asarray(
+            [1.0 + occlusion_falloff * schedule.diameters[k] for k in steps],
+            jnp.float32), (nb, 1))
+        xs_all.append(xs)
+
+    return jax.vmap(march_one)(xs_all)
+
+
 def directional_march(
     mips: Sequence[Array],
     direction: Sequence[float],          # unit world direction (static)
@@ -84,61 +232,13 @@ def directional_march(
     opacity_gain: float = 1.0,
     transmittance_only: bool = False,
 ) -> Array:
-    """March the cone schedule from EVERY field voxel center along one fixed
-    direction.  Returns (df, df, df, 4) = (color.rgb, occlusion) — the
-    vec4 the reference's Voxel_Cone_Tracing returns (fs:107) — or
-    (df, df, df, 1) transmittance if transmittance_only.
-
-    Exactly the per-point march of core/march.py evaluated at all voxel
-    centers at once; sequential over the (static, ~10-100) steps with
-    running front-to-back accumulators, each step one dense shifted
-    resample of a statically-chosen mip level.
-    """
-    d0 = mips[0].shape[0]
-    df = field_dim or d0
-    dtype = mips[0].dtype
-    dirv = np.asarray(direction, np.float64)
-    voxel = world_size / d0
-
-    plan = M._static_lod_plan(schedule.lods, len(mips))
-    t = jnp.ones((df, df, df, 1), dtype)            # transmittance so far
-    color = None if transmittance_only else jnp.zeros((df, df, df, 3), dtype)
-    occ = None if transmittance_only else jnp.zeros((df, df, df, 1), dtype)
-
-    for k, (l0, l1, w) in enumerate(plan):
-        offset_world = dirv * schedule.dists[k]
-
-        def level_sample(lvl):
-            dl = mips[lvl].shape[0]
-            shift = offset_world / (world_size / dl)   # level-voxel units
-            return sample_shifted(mips[lvl], df, shift)
-
-        s = level_sample(l0)
-        if w > 0.0 and l1 != l0:
-            s = s * (1.0 - w) + level_sample(l1) * w
-
-        a = s[..., -1:]
-        if opacity_gain != 1.0:
-            a = jnp.minimum(a * opacity_gain, 1.0)
-        if schedule.step_factor != 1.0:
-            keep = (1.0 - a) ** schedule.step_factor
-        else:
-            keep = 1.0 - a
-
-        if transmittance_only:
-            t = t * keep
-        else:
-            # loop-top early-out (fs:94): no contribution once 1-T >= max_alpha
-            active = (1.0 - t) < max_alpha
-            wgt = jnp.where(active, t, 0.0)
-            color = color + wgt * s[..., :3]
-            occ = occ + wgt * a / (1.0 + occlusion_falloff
-                                   * schedule.diameters[k])
-            t = jnp.where(active, t * keep, t)
-
-    if transmittance_only:
-        return t
-    return jnp.concatenate([color, occ], axis=-1)
+    """Single-direction directional_march_multi (see above)."""
+    out = directional_march_multi(
+        mips, np.asarray(direction, np.float64)[None], schedule, world_size,
+        field_dim=field_dim, max_alpha=max_alpha,
+        occlusion_falloff=occlusion_falloff, opacity_gain=opacity_gain,
+        transmittance_only=transmittance_only)
+    return out[0]
 
 
 # ---------------------------------------------------------------------------

@@ -136,15 +136,22 @@ def downsample2x(grid: Array, alpha_mode: str = "mean") -> Array:
       lods a long shadow cone samples, causing light leaks.
     """
     d = grid.shape[0]
-    c = grid.shape[-1]
     if d == 1:
         return grid
-    g = grid.reshape(d // 2, 2, d // 2, 2, d // 2, 2, c)
-    mean = g.mean(axis=(1, 3, 5))
+    # strided-slice formulation: a 7-D reshape(d/2,2,...) gets tiled (8,128)
+    # on its trailing size-2 dims on TPU — 64x memory padding (OOM at 256^3).
+    # Slices keep the layout 4-D and fuse cleanly.
+    corners = [
+        grid[ix::2, iy::2, iz::2]
+        for ix in (0, 1) for iy in (0, 1) for iz in (0, 1)
+    ]
+    mean = sum(corners) * 0.125
     if alpha_mode == "mean":
         return mean
     if alpha_mode == "max":
-        amax = g[..., -1:].max(axis=(1, 3, 5))
+        amax = corners[0][..., -1:]
+        for c_ in corners[1:]:
+            amax = jnp.maximum(amax, c_[..., -1:])
         return jnp.concatenate([mean[..., :-1], amax], axis=-1)
     raise ValueError(f"unknown alpha_mode {alpha_mode!r}")
 

@@ -103,6 +103,12 @@ def _intersect_chunk(origins: Array, dirs: Array, ds: DeviceScene,
     return t[rows, tri], u[rows, tri], v[rows, tri], tri
 
 
+def raycast_chunk(ds: DeviceScene, o: Array, d: Array) -> GBuffer:
+    """Closest-hit G-buffer for one flat chunk of rays (N, 3)."""
+    t, u, v, tri = _intersect_chunk(o, d, ds)
+    return _interp_gbuffer(ds, o, d, t, u, v, tri)
+
+
 def raycast(ds: DeviceScene, origins: Array, dirs: Array,
             chunk_size: int = 4096) -> GBuffer:
     """Closest-hit G-buffer for rays of any batch shape (..., 3)."""
@@ -123,7 +129,16 @@ def raycast(ds: DeviceScene, origins: Array, dirs: Array,
         (o.reshape(-1, chunk_size, 3), d.reshape(-1, chunk_size, 3)))
     t, u, v, tri = (x.reshape(-1)[:n] for x in (t, u, v, tri))
     o, d = o[:n], d[:n]
+    g = _interp_gbuffer(ds, o, d, t, u, v, tri)
 
+    def reshape(x):
+        return x.reshape(shape + x.shape[1:])
+
+    return jax.tree_util.tree_map(reshape, g)
+
+
+def _interp_gbuffer(ds: DeviceScene, o: Array, d: Array, t: Array,
+                    u: Array, v: Array, tri: Array) -> GBuffer:
     hit = jnp.isfinite(t)
     ts = jnp.where(hit, t, 0.0)
     w0 = (1.0 - u - v)[:, None]
@@ -137,18 +152,15 @@ def raycast(ds: DeviceScene, origins: Array, dirs: Array,
     normal = normal / jnp.maximum(
         jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
 
-    def reshape(x):
-        return x.reshape(shape + x.shape[1:])
-
     return GBuffer(
-        hit=reshape(hit),
-        t=reshape(ts),
-        position=reshape(o + ts[:, None] * d),
-        normal=reshape(normal),
-        geo_normal=reshape(ds.face_normal[tri]),
-        tangent=reshape(interp(ds.vt)),
-        bitangent=reshape(interp(ds.vb)),
-        uv=reshape(interp(ds.vuv)),
-        material=reshape(ds.material[tri]),
-        tri=reshape(tri.astype(jnp.int32)),
+        hit=hit,
+        t=ts,
+        position=o + ts[:, None] * d,
+        normal=normal,
+        geo_normal=ds.face_normal[tri],
+        tangent=interp(ds.vt),
+        bitangent=interp(ds.vb),
+        uv=interp(ds.vuv),
+        material=ds.material[tri],
+        tri=tri.astype(jnp.int32),
     )

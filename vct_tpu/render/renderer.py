@@ -34,7 +34,7 @@ from vct_tpu.core import cones as C
 from vct_tpu.core import grid as G
 from vct_tpu.core import march as M
 from vct_tpu.render import shading
-from vct_tpu.render.gbuffer import DeviceScene, GBuffer, raycast
+from vct_tpu.render.gbuffer import DeviceScene, GBuffer, raycast, raycast_chunk
 from vct_tpu.render.voxelize import SurfaceSamples, generate_surface_samples, splat
 from vct_tpu.scene.mesh import Scene
 
@@ -180,6 +180,86 @@ def build_voxel_state(
     )
 
 
+# --- staged build: separately-jitted stages (VCTConfig is hashable, so it
+# rides as a static arg).  One monolithic jit of build_voxel_state makes XLA
+# optimize a 10k-op graph superlinearly (minutes); the stage split compiles
+# in seconds with identical results.  Use for interactive/bench paths; the
+# single-function build_voxel_state remains for end-to-end autodiff.
+
+@partial(jax.jit, static_argnums=0)
+def _stage_unlit(cfg: VCTConfig, samples: SamplesDevice,
+                 mats: MaterialTable):
+    albedo = mats.albedo[samples.material_ids]
+    weights = jnp.ones(samples.positions.shape[0], albedo.dtype)
+    unlit = splat(samples.positions, albedo[:, :3], weights,
+                  cfg.grid.dim, cfg.grid.world_size, mode=cfg.voxelize.mode)
+    return G.build_mips(unlit, cfg.grid.num_levels, alpha_mode="max")
+
+
+@partial(jax.jit, static_argnums=0)
+def _stage_light_volume(cfg: VCTConfig, unlit_mips):
+    return shading.build_light_volume(cfg, unlit_mips)
+
+
+@partial(jax.jit, static_argnums=0)
+def _stage_radiance(cfg: VCTConfig, samples: SamplesDevice,
+                    mats: MaterialTable, unlit_mips, light_volume,
+                    light_dir, light_color):
+    albedo = mats.albedo[samples.material_ids]
+    emissive = mats.emissive[samples.material_ids]
+    weights = jnp.ones(samples.positions.shape[0], albedo.dtype)
+    if cfg.shadow.mode == "volume":
+        shadow = shading.shadow_volume_tap(
+            cfg, light_volume, samples.positions, samples.normals)
+    else:
+        shadow = shading.shadow_cone_value(
+            unlit_mips, samples.positions, samples.normals, light_dir,
+            shading.shadow_schedule(cfg), cfg)
+    radiance = albedo[:, :3] * light_color * shadow[:, None] + emissive
+    lit = splat(samples.positions, radiance, weights,
+                cfg.grid.dim, cfg.grid.world_size, mode=cfg.voxelize.mode)
+    return G.build_mips(lit, cfg.grid.num_levels)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _stage_field(cfg: VCTConfig, radiance_mips, which: str):
+    sched = (shading.diffuse_schedule(cfg) if which == "diffuse"
+             else shading.specular_schedule(cfg))
+    return shading.build_cone_field(cfg, radiance_mips, sched)
+
+
+def build_voxel_state_staged(
+    cfg: VCTConfig,
+    samples: SamplesDevice,
+    mats: MaterialTable,
+    light_dir: Optional[Array] = None,
+    light_color: Optional[Array] = None,
+) -> VoxelState:
+    """build_voxel_state with per-stage jit boundaries (same results)."""
+    if light_dir is None:
+        light_dir = light_direction(cfg)
+    if light_color is None:
+        light_color = jnp.asarray(cfg.light.color, jnp.float32)
+    unlit_mips = _stage_unlit(cfg, samples, mats)
+    light_volume = (_stage_light_volume(cfg, unlit_mips)
+                    if cfg.shadow.mode == "volume" else None)
+    radiance_mips = _stage_radiance(
+        cfg, samples, mats, unlit_mips, light_volume, light_dir, light_color)
+    diffuse_field = (_stage_field(cfg, radiance_mips, "diffuse")
+                     if cfg.cones.diffuse_mode == "field" else None)
+    specular_field = (
+        _stage_field(cfg, radiance_mips, "specular")
+        if cfg.cones.trace_specular and cfg.cones.specular_mode == "field"
+        else None)
+    return VoxelState(
+        radiance_mips=radiance_mips,
+        unlit_mips=unlit_mips,
+        light_volume=light_volume,
+        diffuse_field=diffuse_field,
+        specular_field=specular_field,
+    )
+
+
 def shade_gbuffer(
     cfg: VCTConfig,
     voxels: VoxelState,
@@ -256,8 +336,28 @@ def render_rays(
     light_dir: Optional[Array] = None,
     chunk_size: int = 4096,
 ) -> Array:
-    gbuf = raycast(ds, origins, dirs, chunk_size=chunk_size)
-    return shade_gbuffer(cfg, voxels, gbuf, mats, camera_position, light_dir)
+    """Raycast + shade, fused per pixel chunk (lax.map) so intermediates
+    (G-buffer attrs, field taps) stay chunk-sized — full-frame shading
+    intermediates at 1080p would be ~GBs."""
+    shape = origins.shape[:-1]
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+    n = o.shape[0]
+    pad = (-n) % chunk_size
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+
+    def chunk_fn(args):
+        oc, dc = args
+        gbuf = raycast_chunk(ds, oc, dc)
+        return shade_gbuffer(cfg, voxels, gbuf, mats, camera_position,
+                             light_dir)
+
+    rgb = jax.lax.map(
+        chunk_fn,
+        (o.reshape(-1, chunk_size, 3), d.reshape(-1, chunk_size, 3)))
+    return rgb.reshape(-1, 3)[:n].reshape(shape + (3,))
 
 
 def render_image(

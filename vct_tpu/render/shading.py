@@ -161,14 +161,11 @@ def build_cone_field(cfg: VCTConfig, mips: Sequence[Array],
     (df, df, df, B*4) with per-direction (rgb, occlusion)."""
     basis = D.direction_basis(cfg.cones.field_basis)
     df = field_dim(cfg)
-    fields = [
-        D.directional_march(
-            mips, b, schedule, cfg.grid.world_size, field_dim=df,
-            max_alpha=cfg.cones.max_alpha,
-            occlusion_falloff=cfg.cones.occlusion_falloff)
-        for b in basis
-    ]
-    return jnp.concatenate(fields, axis=-1)
+    fields = D.directional_march_multi(
+        mips, basis, schedule, cfg.grid.world_size, field_dim=df,
+        max_alpha=cfg.cones.max_alpha,
+        occlusion_falloff=cfg.cones.occlusion_falloff)   # (B, df,df,df, 4)
+    return jnp.moveaxis(fields, 0, -2).reshape(df, df, df, -1)
 
 
 def _field_tap(cfg: VCTConfig, field: Array, position: Array,
