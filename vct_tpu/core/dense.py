@@ -131,6 +131,28 @@ def directional_march_multi(
     assert dirs.ndim == 2 and dirs.shape[1] == 3
     nb = dirs.shape[0]
 
+    # anisotropic stack (core/aniso.py): levels >= 1 carry a 6-direction
+    # axis.  The march direction is STATIC per vmapped lane, so the blend
+    # weights are static too; directional levels are packed (d,d,d,6C) so
+    # the separable resample stays 4-D, and the blend is one einsum after.
+    from vct_tpu.core import aniso as Aniso
+    aniso_w6 = jnp.asarray(
+        np.stack([Aniso.aniso_weights_static(d) for d in dirs]))  # (B, 6)
+
+    def _packed(lvl: int) -> Array:
+        m = mips[lvl]
+        if m.ndim == 5:
+            dl = m.shape[0]
+            return m.reshape(dl, dl, dl, -1)
+        return m
+
+    def _unblend(s: Array, w6: Array, lvl: int) -> Array:
+        if mips[lvl].ndim == 5:
+            c = mips[lvl].shape[-1]
+            s = s.reshape(s.shape[:-1] + (6, c))
+            return jnp.einsum("xyzsc,s->xyzc", s, w6)
+        return s
+
     plan = M._static_lod_plan(schedule.lods, len(mips))
     # consecutive runs of the same (l0, l1_effective) level pair
     groups: list = []
@@ -157,7 +179,7 @@ def directional_march_multi(
                     fs[b, n, ax] = f
         return jnp.asarray(i0s), jnp.asarray(i1s), jnp.asarray(fs)
 
-    def march_one(xs_groups):
+    def march_one(xs_groups, w6):
         t = jnp.ones((df, df, df, 1), dtype)
         color = None if transmittance_only else jnp.zeros((df, df, df, 3),
                                                           dtype)
@@ -165,12 +187,14 @@ def directional_march_multi(
                                                         dtype)
         for ((l0, l1), steps), xs in zip(groups, xs_groups):
             two = l1 != l0
-            la, lb = mips[l0], mips[l1]
+            la, lb = _packed(l0), _packed(l1)
 
-            def body(carry, x, two=two, la=la, lb=lb):
+            def body(carry, x, two=two, la=la, lb=lb, l0=l0, l1=l1):
                 s = _take3(la, x["a"][0], x["a"][1], x["a"][2], df)
+                s = _unblend(s, w6, l0)
                 if two:
                     s1 = _take3(lb, x["b"][0], x["b"][1], x["b"][2], df)
+                    s1 = _unblend(s1, w6, l1)
                     s = s * (1.0 - x["w"]) + s1 * x["w"]
                 a = s[..., -1:]
                 if opacity_gain != 1.0:
@@ -218,7 +242,7 @@ def directional_march_multi(
             jnp.float32), (nb, 1))
         xs_all.append(xs)
 
-    return jax.vmap(march_one)(xs_all)
+    return jax.vmap(march_one)(xs_all, aniso_w6)
 
 
 def directional_march(

@@ -118,13 +118,24 @@ def sample_schedule(
     points: Array,                    # (..., K, 3) world positions
     lods: Sequence[float],
     world_size: float,
+    direction: Array | None = None,   # (..., 3) unit travel direction
 ) -> Array:
     """Quadrilinear samples for all K steps, gathers batched per mip level.
 
     Steps sharing a mip level are gathered in one trilinear_sample call, so
     the number of gather ops is O(levels touched), not O(steps).
     Returns (..., K, C).
+
+    If the stack is anisotropic (core/aniso.py: levels >= 1 are 5-D with a
+    6-direction axis) `direction` selects the directional pre-integrations;
+    it is required in that case.
     """
+    if len(mips) > 1 and mips[1].ndim == 5:
+        from vct_tpu.core import aniso as A
+        if direction is None:
+            raise ValueError("anisotropic mip stack needs a march direction")
+        return A.sample_schedule_aniso(mips, points, lods, world_size,
+                                       direction)
     k = points.shape[-2]
     assert k == len(lods)
     plan = _static_lod_plan(lods, len(mips))
@@ -212,7 +223,8 @@ def cone_march(
         return jnp.zeros(shp + (3,), start.dtype), z, z
     dists = jnp.asarray(schedule.dists, start.dtype)
     points = start[..., None, :] + dists[:, None] * direction[..., None, :]
-    samples = sample_schedule(mips, points, schedule.lods, world_size)
+    samples = sample_schedule(mips, points, schedule.lods, world_size,
+                              direction=direction)
     return composite(
         samples[..., :3], samples[..., 3], schedule.diameters,
         max_alpha=max_alpha, occlusion_falloff=occlusion_falloff,

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vct_tpu.config import VCTConfig
+from vct_tpu.core import aniso as A
 from vct_tpu.core import camera as cameralib
 from vct_tpu.core import cones as C
 from vct_tpu.core import grid as G
@@ -108,6 +109,18 @@ def prepare_scene(cfg: VCTConfig, scene: Scene):
 shadow_schedule = shading.shadow_schedule
 
 
+def _radiance_mips(cfg: VCTConfig, lit: Array) -> Tuple[Array, ...]:
+    """Radiance pyramid: anisotropic 6-direction pre-integrations when
+    cfg.grid.anisotropic (core/aniso.py — the reference's acknowledged-
+    missing feature, Voxel_Cone_Tracing.h:123-125), else isotropic box
+    mips (glGenerateMipmap, Voxel_Cone_Tracing.h:248).  The unlit/shadow
+    pyramid stays isotropic with conservative max-alpha regardless: shadow
+    cones need occupancy, not view-dependent radiance."""
+    if cfg.grid.anisotropic:
+        return A.build_aniso_mips(lit, cfg.grid.num_levels)
+    return G.build_mips(lit, cfg.grid.num_levels)
+
+
 def light_direction(cfg: VCTConfig, dtype=jnp.float32) -> Array:
     """L = normalize(LightDirection) — fs:181."""
     l = jnp.asarray(cfg.light.direction, dtype)
@@ -160,7 +173,7 @@ def build_voxel_state(
     radiance = albedo[:, :3] * light_color * shadow[:, None] + emissive
     lit = splat(samples.positions, radiance, weights, dim, ws,
                 mode=cfg.voxelize.mode)
-    radiance_mips = G.build_mips(lit, cfg.grid.num_levels)
+    radiance_mips = _radiance_mips(cfg, lit)
 
     diffuse_field = None
     if cfg.cones.diffuse_mode == "field":
@@ -218,7 +231,7 @@ def _stage_radiance(cfg: VCTConfig, samples: SamplesDevice,
     radiance = albedo[:, :3] * light_color * shadow[:, None] + emissive
     lit = splat(samples.positions, radiance, weights,
                 cfg.grid.dim, cfg.grid.world_size, mode=cfg.voxelize.mode)
-    return G.build_mips(lit, cfg.grid.num_levels)
+    return _radiance_mips(cfg, lit)
 
 
 @partial(jax.jit, static_argnums=(0, 2))

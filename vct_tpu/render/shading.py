@@ -83,7 +83,7 @@ def shadow_cone_value(
     dists = jnp.asarray(schedule.dists, position.dtype)
     points = start[..., None, :] + dists[:, None] * d[..., None, :]
     samples = M.sample_schedule(
-        mips, points, schedule.lods, cfg.grid.world_size)
+        mips, points, schedule.lods, cfg.grid.world_size, direction=d)
     a = jnp.minimum(samples[..., 3] * cfg.shadow.opacity_gain, 1.0)
     if schedule.step_factor != 1.0:
         keep = (1.0 - a) ** schedule.step_factor
