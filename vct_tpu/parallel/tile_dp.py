@@ -45,7 +45,9 @@ def sharded_render_fn(
     samp_s = meshlib.samples_sharding(mesh)
     samples_shardings = R.SamplesDevice(
         positions=samp_s, normals=samp_s, uvs=samp_s, material_ids=samp_s)
-    mats_shardings = R.MaterialTable(albedo=repl, specular=repl, emissive=repl)
+    # prefix-pytree sharding: `repl` broadcasts over every MaterialTable
+    # leaf, including the optional texture atlas
+    mats_shardings = repl
 
     def fn(origins, dirs, cam_pos, samples, mats):
         voxels = R.build_voxel_state(cfg, samples, mats)
@@ -110,7 +112,9 @@ def sharded_train_step_fn(
     samp_s = meshlib.samples_sharding(mesh)
     samples_shardings = R.SamplesDevice(
         positions=samp_s, normals=samp_s, uvs=samp_s, material_ids=samp_s)
-    mats_shardings = R.MaterialTable(albedo=repl, specular=repl, emissive=repl)
+    # prefix-pytree sharding: `repl` broadcasts over every MaterialTable
+    # leaf, including the optional texture atlas
+    mats_shardings = repl
 
     def loss_fn(params, origins, dirs, cam_pos, samples, mats, target):
         mats2 = dataclasses.replace(mats, albedo=params["albedo"])

@@ -37,6 +37,7 @@ from vct_tpu.core import march as M
 from vct_tpu.render import shading
 from vct_tpu.render.gbuffer import DeviceScene, GBuffer, raycast, raycast_chunk
 from vct_tpu.render.voxelize import SurfaceSamples, generate_surface_samples, splat
+from vct_tpu.scene import textures as TX
 from vct_tpu.scene.mesh import Scene
 
 Array = jax.Array
@@ -45,20 +46,41 @@ Array = jax.Array
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class MaterialTable:
-    """Constant material colors as device arrays; texture atlas support is
-    layered on in scene/textures.py."""
+    """Material colors as device arrays, plus the per-material texture atlas
+    (scene/textures.py) when any material carries textures.  With an atlas,
+    albedo/specular fetches sample it per-uv (DiffuseTexture /
+    SpecularTexture units, Mesh.h:89-111) and shading normals come from the
+    height page (CalcBumpNormal, VoxelConeTracing.fs:108-126)."""
 
     albedo: Array      # (M, 4)
     specular: Array    # (M, 3)
     emissive: Array    # (M, 3)
+    atlas: Optional[TX.TextureAtlas] = None
 
     @staticmethod
-    def from_scene(scene: Scene, dtype=jnp.float32) -> "MaterialTable":
+    def from_scene(scene: Scene, dtype=jnp.float32,
+                   texture_resolution: int = 256) -> "MaterialTable":
+        atlas = None
+        if TX.has_textures(scene.materials):
+            atlas = TX.TextureAtlas.from_materials(
+                scene.materials, texture_resolution)
         return MaterialTable(
             albedo=jnp.asarray([m.albedo for m in scene.materials], dtype),
             specular=jnp.asarray([m.specular for m in scene.materials], dtype),
             emissive=jnp.asarray([m.emissive for m in scene.materials], dtype),
+            atlas=atlas,
         )
+
+    def sample_albedo(self, material_id: Array, uv: Array) -> Array:
+        """(..., 4) rgba at the given uv — texture(DiffuseTexture, tex)."""
+        if self.atlas is not None:
+            return TX.sample_atlas(self.atlas.albedo, material_id, uv)
+        return self.albedo[material_id]
+
+    def sample_specular(self, material_id: Array, uv: Array) -> Array:
+        if self.atlas is not None:
+            return TX.sample_atlas(self.atlas.specular, material_id, uv)
+        return self.specular[material_id]
 
 
 @jax.tree_util.register_dataclass
@@ -149,7 +171,7 @@ def build_voxel_state(
     if light_color is None:
         light_color = jnp.asarray(cfg.light.color, jnp.float32)
 
-    albedo = mats.albedo[samples.material_ids]           # (S, 4)
+    albedo = mats.sample_albedo(samples.material_ids, samples.uvs)   # (S, 4)
     emissive = mats.emissive[samples.material_ids]       # (S, 3)
     weights = jnp.ones(samples.positions.shape[0], albedo.dtype)
 
@@ -202,7 +224,7 @@ def build_voxel_state(
 @partial(jax.jit, static_argnums=0)
 def _stage_unlit(cfg: VCTConfig, samples: SamplesDevice,
                  mats: MaterialTable):
-    albedo = mats.albedo[samples.material_ids]
+    albedo = mats.sample_albedo(samples.material_ids, samples.uvs)
     weights = jnp.ones(samples.positions.shape[0], albedo.dtype)
     unlit = splat(samples.positions, albedo[:, :3], weights,
                   cfg.grid.dim, cfg.grid.world_size, mode=cfg.voxelize.mode)
@@ -218,7 +240,7 @@ def _stage_light_volume(cfg: VCTConfig, unlit_mips):
 def _stage_radiance(cfg: VCTConfig, samples: SamplesDevice,
                     mats: MaterialTable, unlit_mips, light_volume,
                     light_dir, light_color):
-    albedo = mats.albedo[samples.material_ids]
+    albedo = mats.sample_albedo(samples.material_ids, samples.uvs)
     emissive = mats.emissive[samples.material_ids]
     weights = jnp.ones(samples.positions.shape[0], albedo.dtype)
     if cfg.shadow.mode == "volume":
@@ -285,8 +307,17 @@ def shade_gbuffer(
     if light_dir is None:
         light_dir = light_direction(cfg)
 
-    albedo4 = mats.albedo[gbuf.material]                 # (..., 4)
-    spec = shading.spec_gray_fallback(mats.specular[gbuf.material])
+    albedo4 = mats.sample_albedo(gbuf.material, gbuf.uv)         # (..., 4)
+    spec = shading.spec_gray_fallback(
+        mats.sample_specular(gbuf.material, gbuf.uv))
+    # shading normal: bump-mapped when a texture atlas is present
+    # (N = CalcBumpNormal(TBN), fs:177); cone TBN keeps the vertex frame
+    if mats.atlas is not None:
+        shade_normal = TX.bump_normal(
+            mats.atlas, gbuf.material, gbuf.uv, gbuf.tangent,
+            gbuf.bitangent, gbuf.normal)
+    else:
+        shade_normal = gbuf.normal
 
     if cfg.shadow.mode == "volume":
         shadow = shading.shadow_volume_tap(
@@ -307,7 +338,7 @@ def shade_gbuffer(
 
     eye = shading.C.normalize(camera_position - gbuf.position)   # fs:183
     if cfg.cones.trace_specular:
-        refl = shading.reflect_eye(gbuf.normal, eye)
+        refl = shading.reflect_eye(shade_normal, eye)    # reflect(-E, N), fs:217
         if cfg.cones.specular_mode == "field":
             ind_s_rgb, ind_s_occ = shading.indirect_specular_field(
                 cfg, voxels.specular_field, gbuf.position, gbuf.normal, refl)
@@ -322,7 +353,7 @@ def shade_gbuffer(
         cfg,
         albedo=albedo4[..., :3],
         spec_color=spec,
-        normal=gbuf.normal,
+        normal=shade_normal,
         light_dir=light_dir,
         eye_dir=eye,
         shadow=shadow,
