@@ -105,6 +105,9 @@ class ShadowConfig:
     max_distance: Optional[float] = None
     # map mode (reference parity)
     map_size: int = 4096             # Voxel_Cone_Tracing.h:35
+    ortho_extent: float = 120.0      # ortho(-120,120,...), V_C_T.h:84
+    ortho_near: float = -100.0
+    ortho_far: float = 100.0
     pcf_radius: int = 2              # 5x5 kernel, fs:136
     pcf_bias: float = 0.002          # fs:186
     # The ref's main pass divides the 25-tap PCF sum by 9 ("shadow *= 0.111f",

@@ -116,6 +116,7 @@ class VoxelState:
     light_volume: Optional[Array] = None      # (D, D, D, 1)
     diffuse_field: Optional[Array] = None     # (df, df, df, B*4)
     specular_field: Optional[Array] = None    # (df, df, df, B*4)
+    shadow_map: Optional[Array] = None        # (S, S) depth, mode "map"
 
 
 def prepare_scene(cfg: VCTConfig, scene: Scene):
@@ -182,11 +183,19 @@ def build_voxel_state(
     unlit_mips = G.build_mips(unlit, cfg.grid.num_levels, alpha_mode="max")
 
     light_volume = None
+    shadow_map = None
     if cfg.shadow.mode == "volume":
         # dense light-transmittance volume; per-sample shadow is one tap
         light_volume = shading.build_light_volume(cfg, unlit_mips)
         shadow = shading.shadow_volume_tap(
             cfg, light_volume, samples.positions, samples.normals)
+    elif cfg.shadow.mode == "map":
+        # reference parity: scatter-min depth map + PCF (/25 here, the
+        # voxelize-pass normalization — Voxelization.fs:46)
+        from vct_tpu.render import shadowmap as SM
+        shadow_map = SM.build_shadow_map(cfg, samples.positions)
+        shadow = SM.pcf_shadow(cfg, shadow_map, samples.positions,
+                               normalization="voxelize")
     else:
         shadow = shading.shadow_cone_value(
             unlit_mips, samples.positions, samples.normals, light_dir,
@@ -212,6 +221,7 @@ def build_voxel_state(
         light_volume=light_volume,
         diffuse_field=diffuse_field,
         specular_field=specular_field,
+        shadow_map=shadow_map,
     )
 
 
@@ -237,15 +247,25 @@ def _stage_light_volume(cfg: VCTConfig, unlit_mips):
 
 
 @partial(jax.jit, static_argnums=0)
+def _stage_shadow_map(cfg: VCTConfig, samples: SamplesDevice):
+    from vct_tpu.render import shadowmap as SM
+    return SM.build_shadow_map(cfg, samples.positions)
+
+
+@partial(jax.jit, static_argnums=0)
 def _stage_radiance(cfg: VCTConfig, samples: SamplesDevice,
                     mats: MaterialTable, unlit_mips, light_volume,
-                    light_dir, light_color):
+                    shadow_map, light_dir, light_color):
     albedo = mats.sample_albedo(samples.material_ids, samples.uvs)
     emissive = mats.emissive[samples.material_ids]
     weights = jnp.ones(samples.positions.shape[0], albedo.dtype)
     if cfg.shadow.mode == "volume":
         shadow = shading.shadow_volume_tap(
             cfg, light_volume, samples.positions, samples.normals)
+    elif cfg.shadow.mode == "map":
+        from vct_tpu.render import shadowmap as SM
+        shadow = SM.pcf_shadow(cfg, shadow_map, samples.positions,
+                               normalization="voxelize")
     else:
         shadow = shading.shadow_cone_value(
             unlit_mips, samples.positions, samples.normals, light_dir,
@@ -278,8 +298,11 @@ def build_voxel_state_staged(
     unlit_mips = _stage_unlit(cfg, samples, mats)
     light_volume = (_stage_light_volume(cfg, unlit_mips)
                     if cfg.shadow.mode == "volume" else None)
+    shadow_map = (_stage_shadow_map(cfg, samples)
+                  if cfg.shadow.mode == "map" else None)
     radiance_mips = _stage_radiance(
-        cfg, samples, mats, unlit_mips, light_volume, light_dir, light_color)
+        cfg, samples, mats, unlit_mips, light_volume, shadow_map,
+        light_dir, light_color)
     diffuse_field = (_stage_field(cfg, radiance_mips, "diffuse")
                      if cfg.cones.diffuse_mode == "field" else None)
     specular_field = (
@@ -292,6 +315,7 @@ def build_voxel_state_staged(
         light_volume=light_volume,
         diffuse_field=diffuse_field,
         specular_field=specular_field,
+        shadow_map=shadow_map,
     )
 
 
@@ -322,6 +346,12 @@ def shade_gbuffer(
     if cfg.shadow.mode == "volume":
         shadow = shading.shadow_volume_tap(
             cfg, voxels.light_volume, gbuf.position, gbuf.geo_normal)
+    elif cfg.shadow.mode == "map":
+        # main-pass PCF — the /9-quirk normalization under "reference"
+        # (VoxelConeTracing.fs:158)
+        from vct_tpu.render import shadowmap as SM
+        shadow = SM.pcf_shadow(cfg, voxels.shadow_map, gbuf.position,
+                               normalization="main")
     else:
         shadow = shading.shadow_cone_value(
             voxels.unlit_mips, gbuf.position, gbuf.geo_normal, light_dir,
