@@ -1,0 +1,113 @@
+"""Brick-sharded dense march vs the replicated oracle — parallel/brick.py.
+
+Runs on the 8-virtual-CPU-device mesh (conftest).  The north-star parity:
+sharded == replicated allclose, including when fine levels genuinely
+shard with halo exchange (SURVEY.md §2.4 TP row).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vct_tpu.core import dense as D
+from vct_tpu.core import grid as G
+from vct_tpu.core import march as M
+from vct_tpu.parallel import brick as B
+from vct_tpu.parallel import mesh as meshlib
+
+
+def make_mips(dim=32, seed=0):
+    rng = np.random.default_rng(seed)
+    base = np.zeros((dim, dim, dim, 4), np.float32)
+    for _ in range(80):
+        i, j, k = rng.integers(1, dim - 1, size=3)
+        base[i, j, k] = [*rng.uniform(0.2, 1.0, 3), rng.uniform(0.3, 1.0)]
+    return G.build_mips(jnp.asarray(base))
+
+
+@pytest.fixture(scope="module")
+def mesh4():
+    return meshlib.make_mesh(n_data=2, n_model=4)
+
+
+DIRS = np.asarray([
+    [0.0, 0.0, 1.0],
+    [1.0, 0.0, 0.0],           # along the sharded axis — worst case
+    [0.6, -0.64, 0.48],
+])
+DIRS = DIRS / np.linalg.norm(DIRS, axis=-1, keepdims=True)
+
+
+class TestShardedMarchParity:
+    def test_gather_march_matches_replicated(self, mesh4):
+        ws, dim = 150.0, 32
+        mips = make_mips(dim, seed=1)
+        sched = M.march_schedule(0.577, ws / dim, 75.0)
+        ref = D.directional_march_multi(mips, DIRS, sched, ws)
+        out = B.sharded_directional_march_multi(
+            mips, DIRS, sched, ws, mesh4, min_shard_rows=4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_fine_level_actually_sharded(self, mesh4):
+        """With min_shard_rows=4 at 32^3/4-way, level 0 (32 rows -> 8/shard)
+        must shard: verify the halo/shard decision, not just the fallback."""
+        ws, dim = 150.0, 32
+        mips = make_mips(dim)
+        sched = M.march_schedule(0.577, ws / dim, 75.0)
+        plan, groups = D.plan_groups(sched.lods, len(mips))
+        touch0 = [k for k, (l0, l1, w) in enumerate(plan)
+                  if l0 == 0 or (w > 0 and l1 == 0)]
+        h = B._halo_for_level(DIRS, sched.dists, touch0, dim, ws)
+        assert h + 1 <= dim // 4, (h, "halo would force fallback")
+
+    def test_transmittance_volume_matches(self, mesh4):
+        """The sharded light-volume build (shadow cones) == replicated."""
+        ws, dim = 150.0, 32
+        mips = make_mips(dim, seed=2)
+        # wider shadow cone so level 0 shards at this toy size
+        sched = M.march_schedule(0.2, ws / dim, ws, step_factor=0.5)
+        dirv = np.asarray([[0.0, 0.97014254, 0.24253564]])
+        ref = D.directional_march_multi(
+            mips, dirv, sched, ws, opacity_gain=4.0, transmittance_only=True)
+        out = B.sharded_directional_march_multi(
+            mips, dirv, sched, ws, mesh4, opacity_gain=4.0,
+            transmittance_only=True, min_shard_rows=4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_output_sharding(self, mesh4):
+        ws, dim = 150.0, 32
+        mips = make_mips(dim, seed=3)
+        sched = M.march_schedule(0.577, ws / dim, 75.0)
+        out = B.sharded_directional_march_multi(
+            mips, DIRS[:1], sched, ws, mesh4, min_shard_rows=4)
+        spec = out.sharding.spec
+        assert spec[1] == "model", spec
+
+    def test_gradient_flows_through_halo_exchange(self, mesh4):
+        ws, dim = 150.0, 16
+        mips = make_mips(dim, seed=4)
+        sched = M.march_schedule(0.577, ws / dim, 75.0)
+
+        def loss(lvl0):
+            stack = (lvl0,) + tuple(mips[1:])
+            out = B.sharded_directional_march_multi(
+                stack, DIRS[:2], sched, ws, mesh4, min_shard_rows=2)
+            return jnp.sum(out)
+
+        g = jax.grad(loss)(mips[0])
+        assert np.isfinite(np.asarray(g)).all()
+        ref = jax.grad(lambda l: jnp.sum(D.directional_march_multi(
+            (l,) + tuple(mips[1:]), DIRS[:2], sched, ws)))(mips[0])
+        np.testing.assert_allclose(np.asarray(g), np.asarray(ref),
+                                   rtol=1e-3, atol=1e-4)
+
+
+class TestShardMips:
+    def test_placement(self, mesh4):
+        mips = make_mips(32)
+        placed = B.shard_mips(mesh4, mips, n_min_rows=4)
+        assert placed[0].sharding.spec[0] == "model"       # 32 rows: sharded
+        assert placed[-1].sharding.spec == ()  # 1^3: replicated

@@ -101,6 +101,20 @@ def _take3(level: Array, i0: Array, i1: Array, f: Array, df: int) -> Array:
     return out
 
 
+def plan_groups(lods, num_levels):
+    """(per-step lod plan, consecutive runs of the same (l0, l1) level
+    pair) — shared by the local and brick-sharded dense marches."""
+    plan = M._static_lod_plan(lods, num_levels)
+    groups: list = []
+    for k, (l0, l1, w) in enumerate(plan):
+        l1e = l1 if w > 0.0 and l1 != l0 else l0
+        if groups and groups[-1][0] == (l0, l1e):
+            groups[-1][1].append(k)
+        else:
+            groups.append(((l0, l1e), [k]))
+    return plan, groups
+
+
 def directional_march_multi(
     mips: Sequence[Array],
     directions,                          # (B, 3) static unit world directions
@@ -153,15 +167,7 @@ def directional_march_multi(
             return jnp.einsum("xyzsc,s->xyzc", s, w6)
         return s
 
-    plan = M._static_lod_plan(schedule.lods, len(mips))
-    # consecutive runs of the same (l0, l1_effective) level pair
-    groups: list = []
-    for k, (l0, l1, w) in enumerate(plan):
-        l1e = l1 if w > 0.0 and l1 != l0 else l0
-        if groups and groups[-1][0] == (l0, l1e):
-            groups[-1][1].append(k)
-        else:
-            groups.append(((l0, l1e), [k]))
+    plan, groups = plan_groups(schedule.lods, len(mips))
 
     def axis_pack(steps, lvl):
         """(B, n, 3, df) i0/i1 int32 and f f32 for all steps at one level."""
