@@ -73,6 +73,12 @@ class LightConfig:
     direction: Tuple[float, float, float] = (0.0, 1.0, 0.25)
     color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     ambient_factor: float = 0.1      # Voxel_Cone_Tracing.h:53
+    # GI path depth.  2 = reference behavior (direct-lit voxels + one
+    # cone-gathered camera bounce, README.md:14).  Each extra bounce
+    # re-gathers indirect diffuse at the surface samples through the
+    # current radiance pyramid and re-injects ("can increase to more
+    # bounce", README.md:14 — unimplemented there).
+    gi_bounces: int = 2
 
 
 @dataclasses.dataclass(frozen=True)

@@ -150,6 +150,47 @@ def light_direction(cfg: VCTConfig, dtype=jnp.float32) -> Array:
     return l / jnp.linalg.norm(l)
 
 
+def sample_indirect_diffuse(
+    cfg: VCTConfig,
+    radiance_mips,
+    positions: Array,
+    normals: Array,
+) -> Tuple[Array, Array]:
+    """6-cone indirect-diffuse gather at surface points through the current
+    radiance pyramid — the cone trace inside the voxelization pass that the
+    reference sketches for >2 bounces (README.md:14 "can increase to more
+    bounce").  Cone frames come from a stable ONB around the face normal.
+    Returns (rgb (S,3), occlusion (S,))."""
+    t, bt = C.orthonormal_frame(normals)
+    cone_dirs = shading.pixel_cone_dirs(cfg, normals, t, bt)
+    if cfg.cones.diffuse_mode == "field":
+        field = shading.build_cone_field(
+            cfg, radiance_mips, shading.diffuse_schedule(cfg))
+        return shading.indirect_diffuse_field(
+            cfg, field, positions, normals, cone_dirs)
+    return shading.indirect_diffuse_percone(
+        cfg, radiance_mips, positions, normals, cone_dirs)
+
+
+def _inject_bounce(
+    cfg: VCTConfig,
+    samples: SamplesDevice,
+    albedo_rgb: Array,           # (S, 3)
+    direct_radiance: Array,      # (S, 3) bounce-0 injection (lit + emissive)
+    weights: Array,              # (S,)
+    radiance_mips,
+) -> Tuple[Array, ...]:
+    """One extra GI bounce: gather indirect at every surface sample, add the
+    Lambertian re-emission albedo * occlusion * indirect (the surface
+    combine of fs:205 applied at the voxel sample), re-splat, rebuild mips."""
+    ind_rgb, ind_occ = sample_indirect_diffuse(
+        cfg, radiance_mips, samples.positions, samples.normals)
+    bounce = albedo_rgb * (1.0 - ind_occ)[:, None] * ind_rgb
+    lit = splat(samples.positions, direct_radiance + bounce, weights,
+                cfg.grid.dim, cfg.grid.world_size, mode=cfg.voxelize.mode)
+    return _radiance_mips(cfg, lit)
+
+
 def build_voxel_state(
     cfg: VCTConfig,
     samples: SamplesDevice,
@@ -165,6 +206,8 @@ def build_voxel_state(
     Stage 3: splat albedo*light*shadow + emissive -> radiance grid
              (Voxelization.fs:88 stores albedo*shadow, occupancy 1.0).
     Stage 4: isotropic mip chains (Voxel_Cone_Tracing.h:248).
+    Stage 5: optional extra GI bounces (light.gi_bounces > 2): re-gather +
+             re-inject + rebuild mips per bounce.
     """
     dim, ws = cfg.grid.dim, cfg.grid.world_size
     if light_dir is None:
@@ -205,6 +248,10 @@ def build_voxel_state(
     lit = splat(samples.positions, radiance, weights, dim, ws,
                 mode=cfg.voxelize.mode)
     radiance_mips = _radiance_mips(cfg, lit)
+
+    for _ in range(max(0, cfg.light.gi_bounces - 2)):
+        radiance_mips = _inject_bounce(
+            cfg, samples, albedo[:, :3], radiance, weights, radiance_mips)
 
     diffuse_field = None
     if cfg.cones.diffuse_mode == "field":
@@ -273,7 +320,16 @@ def _stage_radiance(cfg: VCTConfig, samples: SamplesDevice,
     radiance = albedo[:, :3] * light_color * shadow[:, None] + emissive
     lit = splat(samples.positions, radiance, weights,
                 cfg.grid.dim, cfg.grid.world_size, mode=cfg.voxelize.mode)
-    return _radiance_mips(cfg, lit)
+    return _radiance_mips(cfg, lit), radiance
+
+
+@partial(jax.jit, static_argnums=0)
+def _stage_bounce(cfg: VCTConfig, samples: SamplesDevice,
+                  mats: MaterialTable, direct_radiance, radiance_mips):
+    albedo = mats.sample_albedo(samples.material_ids, samples.uvs)
+    weights = jnp.ones(samples.positions.shape[0], albedo.dtype)
+    return _inject_bounce(cfg, samples, albedo[:, :3], direct_radiance,
+                          weights, radiance_mips)
 
 
 @partial(jax.jit, static_argnums=(0, 2))
@@ -300,9 +356,12 @@ def build_voxel_state_staged(
                     if cfg.shadow.mode == "volume" else None)
     shadow_map = (_stage_shadow_map(cfg, samples)
                   if cfg.shadow.mode == "map" else None)
-    radiance_mips = _stage_radiance(
+    radiance_mips, direct_radiance = _stage_radiance(
         cfg, samples, mats, unlit_mips, light_volume, shadow_map,
         light_dir, light_color)
+    for _ in range(max(0, cfg.light.gi_bounces - 2)):
+        radiance_mips = _stage_bounce(
+            cfg, samples, mats, direct_radiance, radiance_mips)
     diffuse_field = (_stage_field(cfg, radiance_mips, "diffuse")
                      if cfg.cones.diffuse_mode == "field" else None)
     specular_field = (

@@ -133,13 +133,14 @@ def _parse_mtl(path: str) -> Dict[str, Material]:
     return mats
 
 
-def load_obj(path: str, flip_uv: bool = True) -> Scene:
+def load_obj(path: str, flip_uv: bool = True, scale: float = 1.0) -> Scene:
     """Load an OBJ (+MTL) into a Scene.
 
     flip_uv mirrors Assimp's aiProcess_FlipUVs used by the reference
     (Model.h:43).  Vertices are de-duplicated per (v, vt, vn) triple;
     smooth normals are generated when the file has none
-    (GenSmoothNormals analogue).
+    (GenSmoothNormals analogue).  scale applies the reference's uniform
+    model transform (0.05 for Sponza, Voxel_Cone_Tracing.h:183).
     """
     positions: List[Tuple[float, float, float]] = []
     uvs: List[Tuple[float, float]] = []
@@ -210,7 +211,7 @@ def load_obj(path: str, flip_uv: bool = True) -> Scene:
 
     if not materials:
         materials = [Material()]
-    pos = np.asarray(out_pos, np.float32)
+    pos = np.asarray(out_pos, np.float32) * np.float32(scale)
     nrm = np.asarray(out_nrm, np.float32)
     if not any_normals or float(np.abs(nrm).sum()) == 0.0:
         nrm = None
