@@ -78,7 +78,7 @@ def main():
     from vct_tpu.config import preset, GridConfig
     from vct_tpu.core import camera as cameralib
     from vct_tpu.render import renderer as R
-    from vct_tpu.scene import cornell_box
+    from vct_tpu.scene import atrium
 
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", "unknown")
@@ -90,8 +90,10 @@ def main():
         grid=GridConfig(dim=dim, world_size=150.0),
         render=dataclasses.replace(cfg.render, width=width, height=height),
     )
-    scene = cornell_box(size=100.0)   # Sponza-class march cost; scene swap pending OBJ path
-    camera = cameralib.Camera(position=(0.0, 0.0, 140.0))
+    # Sponza-class colonnaded atrium (scene/atrium.py) at the SURVEY §6
+    # operating point: textured materials, open light well, deep occlusion
+    scene = atrium()
+    camera = cameralib.Camera(position=(48.0, -10.0, 0.0), yaw=180.0)
 
     t0 = time.time()
     ds, mats, samples = R.prepare_scene(cfg, scene)
