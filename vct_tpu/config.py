@@ -26,6 +26,11 @@ class GridConfig:
     levels: Optional[int] = None   # mip levels; None = full chain (log2(dim)+1)
     anisotropic: bool = False      # 6-direction mips (ref's acknowledged-missing feature)
     dtype: str = "float32"
+    # dense-march contraction dtype: "bfloat16" runs the resample matmuls
+    # at bf16 MXU throughput with f32 accumulation (core/dense.py); the
+    # reference samples RGBA8 textures, so bf16 (8-bit mantissa) still
+    # carries more precision than the reference's own voxel storage.
+    compute: str = "float32"       # "float32" | "bfloat16"
 
     @property
     def num_levels(self) -> int:
@@ -204,7 +209,7 @@ def preset(name: str) -> VCTConfig:
         # Field-mode GI: the TPU-native fast path (volume shadows + basis
         # fields); percone remains available for parity runs.
         return VCTConfig(
-            grid=GridConfig(dim=256),
+            grid=GridConfig(dim=256, compute="bfloat16"),
             cones=ConeSetConfig(diffuse_mode="field", specular_mode="field"),
             render=RenderConfig(width=1920, height=1080),
         )

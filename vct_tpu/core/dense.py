@@ -73,13 +73,15 @@ def sample_shifted(level: Array, df: int, shift_vox: Sequence[float]) -> Array:
     return out
 
 
-def _interp_matrix(i0: Array, i1: Array, f: Array, dl: int) -> Array:
+def _interp_matrix(i0: Array, i1: Array, f: Array, dl: int,
+                   dtype=None) -> Array:
     """(df, dl) interpolation matrix W with W[r, i0[r]] += 1-f[r],
     W[r, i1[r]] += f[r] — so W @ axis does take+lerp in one matmul."""
     cols = jax.lax.broadcasted_iota(jnp.int32, (i0.shape[0], dl), 1)
     w0 = jnp.where(cols == i0[:, None], 1.0 - f[:, None], 0.0)
     w1 = jnp.where(cols == i1[:, None], f[:, None], 0.0)
-    return w0 + w1                       # i0 == i1 accumulates, as intended
+    w = w0 + w1                          # i0 == i1 accumulates, as intended
+    return w if dtype is None else w.astype(dtype)
 
 
 def _take3(level: Array, i0: Array, i1: Array, f: Array, df: int) -> Array:
@@ -90,14 +92,19 @@ def _take3(level: Array, i0: Array, i1: Array, f: Array, df: int) -> Array:
     interpolation matrices are built on the fly from the index vectors, so
     scan carries only O(df) metadata per step while the FLOPs ride the
     systolic array instead of gather units.
+
+    The contractions run in `level.dtype` (bfloat16 doubles-to-quadruples
+    MXU throughput) and accumulate/return float32.
     """
     dl = level.shape[0]
-    wx = _interp_matrix(i0[0], i1[0], f[0], dl)
-    wy = _interp_matrix(i0[1], i1[1], f[1], dl)
-    wz = _interp_matrix(i0[2], i1[2], f[2], dl)
-    out = jnp.einsum("ad,dyzc->ayzc", wx, level)
-    out = jnp.einsum("bd,adzc->abzc", wy, out)
-    out = jnp.einsum("ed,abdc->abec", wz, out)
+    wd = level.dtype
+    wx = _interp_matrix(i0[0], i1[0], f[0], dl, wd)
+    wy = _interp_matrix(i0[1], i1[1], f[1], dl, wd)
+    wz = _interp_matrix(i0[2], i1[2], f[2], dl, wd)
+    pref = dict(preferred_element_type=jnp.float32)
+    out = jnp.einsum("ad,dyzc->ayzc", wx, level, **pref)
+    out = jnp.einsum("bd,adzc->abzc", wy, out.astype(wd), **pref)
+    out = jnp.einsum("ed,abdc->abec", wz, out.astype(wd), **pref)
     return out
 
 
@@ -125,6 +132,7 @@ def directional_march_multi(
     occlusion_falloff: float = 0.03,
     opacity_gain: float = 1.0,
     transmittance_only: bool = False,
+    compute_dtype=None,
 ) -> Array:
     """March the cone schedule from EVERY field voxel center along each of B
     fixed directions.  Returns (B, df, df, df, 4) = (color.rgb, occlusion)
@@ -137,10 +145,14 @@ def directional_march_multi(
     over its steps (shifts enter as traced index/weight vectors), and the
     whole march is vmapped over directions — so the compiled size is
     O(level pairs), independent of step count and direction count.
+
+    compute_dtype=jnp.bfloat16 runs the resample contractions in bf16 on
+    the MXU (~4x f32 peak) with float32 accumulation and compositing; the
+    carry and output are always float32.
     """
     d0 = mips[0].shape[0]
     df = field_dim or d0
-    dtype = mips[0].dtype
+    dtype = jnp.float32
     dirs = np.asarray(directions, np.float64)
     assert dirs.ndim == 2 and dirs.shape[1] == 3
     nb = dirs.shape[0]
@@ -194,6 +206,9 @@ def directional_march_multi(
         for ((l0, l1), steps), xs in zip(groups, xs_groups):
             two = l1 != l0
             la, lb = _packed(l0), _packed(l1)
+            if compute_dtype is not None:
+                la = la.astype(compute_dtype)
+                lb = lb.astype(compute_dtype)
 
             def body(carry, x, two=two, la=la, lb=lb, l0=l0, l1=l1):
                 s = _take3(la, x["a"][0], x["a"][1], x["a"][2], df)
@@ -261,13 +276,14 @@ def directional_march(
     occlusion_falloff: float = 0.03,
     opacity_gain: float = 1.0,
     transmittance_only: bool = False,
+    compute_dtype=None,
 ) -> Array:
     """Single-direction directional_march_multi (see above)."""
     out = directional_march_multi(
         mips, np.asarray(direction, np.float64)[None], schedule, world_size,
         field_dim=field_dim, max_alpha=max_alpha,
         occlusion_falloff=occlusion_falloff, opacity_gain=opacity_gain,
-        transmittance_only=transmittance_only)
+        transmittance_only=transmittance_only, compute_dtype=compute_dtype)
     return out[0]
 
 

@@ -6,9 +6,15 @@ barycentrics interpolate exactly the attributes the reference's vertex
 shader hands the fragment stage (Position_world, Normal_world,
 Tangent_world, BiTangent_world, tex; VoxelConeTracing.vs:25-36).
 
-Brute-force Möller–Trumbore over all triangles, chunked over rays via
-lax.map — fine for test scenes; large scenes use the tiled binned
-rasterizer (render/raster.py) instead.
+Two paths:
+  * general Möller–Trumbore over all triangles (any origins), chunked
+    over rays via lax.map;
+  * a pinhole fast path for camera rays (one shared origin): with o
+    fixed, the triple products det = d.(e2 x e1), u*det = d.(e2 x tvec),
+    v*det = d.(tvec x e1) are LINEAR in the ray direction, so the whole
+    intersection test becomes three (N,3)x(3,T) matmuls on the MXU plus
+    a fused select+argmin — no per-ray cross products, no (N,T,3)
+    intermediates.  t*det = e2.(tvec x e1) is ray-independent entirely.
 """
 
 from __future__ import annotations
@@ -106,6 +112,64 @@ def _intersect_chunk(origins: Array, dirs: Array, ds: DeviceScene,
 def raycast_chunk(ds: DeviceScene, o: Array, d: Array) -> GBuffer:
     """Closest-hit G-buffer for one flat chunk of rays (N, 3)."""
     t, u, v, tri = _intersect_chunk(o, d, ds)
+    return _interp_gbuffer(ds, o, d, t, u, v, tri)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PinholeConstants:
+    """Per-triangle constants for a fixed ray origin (see module doc)."""
+
+    a: Array       # (T, 3)  det    = d . a,  a = e2 x e1
+    b: Array       # (T, 3)  u*det  = d . b,  b = e2 x tvec
+    c: Array       # (T, 3)  v*det  = d . c,  c = tvec x e1
+    k: Array       # (T,)    t*det  = e2 . c
+
+
+def pinhole_constants(ds: DeviceScene, origin: Array) -> PinholeConstants:
+    """O(T) prep folding the shared origin into the triangle data."""
+    tvec = origin[None, :] - ds.v0
+    c = jnp.cross(tvec, ds.e1)
+    return PinholeConstants(
+        a=jnp.cross(ds.e2, ds.e1),
+        b=jnp.cross(ds.e2, tvec),
+        c=c,
+        k=jnp.sum(ds.e2 * c, axis=-1),
+    )
+
+
+def _intersect_chunk_pinhole(dirs: Array, pc: PinholeConstants,
+                             eps: float = 1e-7
+                             ) -> Tuple[Array, Array, Array]:
+    """Closest hit for one chunk of same-origin rays: three matmuls + a
+    sign-folded validity mask + argmin.  Returns (t, tri, det_winner)."""
+    det = dirs @ pc.a.T                                          # (N, T)
+    ud = dirs @ pc.b.T
+    vd = dirs @ pc.c.T
+    s = jnp.sign(det)
+    ad = jnp.abs(det)
+    # u,v,t conditions multiplied through by |det| (sign-safe):
+    valid = ((ad > eps) & (s * ud >= 0) & (s * vd >= 0)
+             & (s * (ud + vd) <= ad) & (s * pc.k[None, :] > 1e-4 * ad))
+    tval = (s * pc.k[None, :]) / jnp.maximum(ad, eps)
+    t = jnp.where(valid, tval, jnp.inf)
+    tri = jnp.argmin(t, axis=-1)
+    rows = jnp.arange(dirs.shape[0])
+    return t[rows, tri], tri, det[rows, tri]
+
+
+def raycast_chunk_pinhole(ds: DeviceScene, pc: PinholeConstants,
+                          origin: Array, d: Array) -> GBuffer:
+    """raycast_chunk for same-origin rays (primary camera rays).
+
+    The winner's barycentrics are recomputed exactly against just its
+    triangle (3 dots per ray) instead of gathering from the (N, T) field.
+    """
+    t, tri, det = _intersect_chunk_pinhole(d, pc)
+    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    u = jnp.sum(d * pc.b[tri], axis=-1) * inv
+    v = jnp.sum(d * pc.c[tri], axis=-1) * inv
+    o = jnp.broadcast_to(origin[None, :], d.shape)
     return _interp_gbuffer(ds, o, d, t, u, v, tri)
 
 

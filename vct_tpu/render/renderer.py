@@ -35,7 +35,9 @@ from vct_tpu.core import cones as C
 from vct_tpu.core import grid as G
 from vct_tpu.core import march as M
 from vct_tpu.render import shading
-from vct_tpu.render.gbuffer import DeviceScene, GBuffer, raycast, raycast_chunk
+from vct_tpu.render.gbuffer import (DeviceScene, GBuffer, pinhole_constants,
+                                    raycast, raycast_chunk,
+                                    raycast_chunk_pinhole)
 from vct_tpu.render.voxelize import SurfaceSamples, generate_surface_samples, splat
 from vct_tpu.scene import textures as TX
 from vct_tpu.scene.mesh import Scene
@@ -468,10 +470,15 @@ def render_rays(
     camera_position: Array,
     light_dir: Optional[Array] = None,
     chunk_size: int = 4096,
+    pinhole: bool = True,
 ) -> Array:
     """Raycast + shade, fused per pixel chunk (lax.map) so intermediates
     (G-buffer attrs, field taps) stay chunk-sized — full-frame shading
-    intermediates at 1080p would be ~GBs."""
+    intermediates at 1080p would be ~GBs.
+
+    pinhole=True (the camera-ray case: all origins equal by construction,
+    core/camera.py primary_rays) uses the matmul intersection fast path;
+    set False for rays with varying origins."""
     shape = origins.shape[:-1]
     o = origins.reshape(-1, 3)
     d = dirs.reshape(-1, 3)
@@ -481,15 +488,26 @@ def render_rays(
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
         d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
 
-    def chunk_fn(args):
-        oc, dc = args
-        gbuf = raycast_chunk(ds, oc, dc)
-        return shade_gbuffer(cfg, voxels, gbuf, mats, camera_position,
-                             light_dir)
+    if pinhole:
+        origin0 = o[0]
+        pc = pinhole_constants(ds, origin0)
 
-    rgb = jax.lax.map(
-        chunk_fn,
-        (o.reshape(-1, chunk_size, 3), d.reshape(-1, chunk_size, 3)))
+        def chunk_fn(dc):
+            gbuf = raycast_chunk_pinhole(ds, pc, origin0, dc)
+            return shade_gbuffer(cfg, voxels, gbuf, mats, camera_position,
+                                 light_dir)
+
+        rgb = jax.lax.map(chunk_fn, d.reshape(-1, chunk_size, 3))
+    else:
+        def chunk_fn(args):
+            oc, dc = args
+            gbuf = raycast_chunk(ds, oc, dc)
+            return shade_gbuffer(cfg, voxels, gbuf, mats, camera_position,
+                                 light_dir)
+
+        rgb = jax.lax.map(
+            chunk_fn,
+            (o.reshape(-1, chunk_size, 3), d.reshape(-1, chunk_size, 3)))
     return rgb.reshape(-1, 3)[:n].reshape(shape + (3,))
 
 

@@ -57,6 +57,11 @@ def field_dim(cfg: VCTConfig) -> int:
     return min(cfg.grid.dim, 128)
 
 
+def _march_compute_dtype(cfg: VCTConfig):
+    """Dense-march contraction dtype (GridConfig.compute)."""
+    return jnp.bfloat16 if cfg.grid.compute == "bfloat16" else None
+
+
 # ---------------------------------------------------------------------------
 # shadow providers
 # ---------------------------------------------------------------------------
@@ -115,7 +120,8 @@ def build_light_volume(cfg: VCTConfig, unlit_mips: Sequence[Array],
     return D.directional_march(
         unlit_mips, d, shadow_schedule(cfg),
         cfg.grid.world_size, field_dim=cfg.grid.dim,
-        opacity_gain=cfg.shadow.opacity_gain, transmittance_only=True)
+        opacity_gain=cfg.shadow.opacity_gain, transmittance_only=True,
+        compute_dtype=_march_compute_dtype(cfg))
 
 
 def shadow_volume_tap(cfg: VCTConfig, light_volume: Array, position: Array,
@@ -164,7 +170,8 @@ def build_cone_field(cfg: VCTConfig, mips: Sequence[Array],
     fields = D.directional_march_multi(
         mips, basis, schedule, cfg.grid.world_size, field_dim=df,
         max_alpha=cfg.cones.max_alpha,
-        occlusion_falloff=cfg.cones.occlusion_falloff)   # (B, df,df,df, 4)
+        occlusion_falloff=cfg.cones.occlusion_falloff,
+        compute_dtype=_march_compute_dtype(cfg))   # (B, df,df,df, 4)
     return jnp.moveaxis(fields, 0, -2).reshape(df, df, df, -1)
 
 
