@@ -143,7 +143,8 @@ def _radiance_mips(cfg: VCTConfig, lit: Array) -> Tuple[Array, ...]:
     cones need occupancy, not view-dependent radiance."""
     if cfg.grid.anisotropic:
         return A.build_aniso_mips(lit, cfg.grid.num_levels)
-    return G.build_mips(lit, cfg.grid.num_levels)
+    from vct_tpu.ops.mip_pallas import build_mips_auto
+    return build_mips_auto(lit, cfg.grid.num_levels)
 
 
 def light_direction(cfg: VCTConfig, dtype=jnp.float32) -> Array:
@@ -225,7 +226,9 @@ def build_voxel_state(
                   mode=cfg.voxelize.mode)
     # conservative (max-alpha) mips: shadow cones must not leak through
     # thin occluders diluted by mean-reduction (see grid.downsample2x)
-    unlit_mips = G.build_mips(unlit, cfg.grid.num_levels, alpha_mode="max")
+    from vct_tpu.ops.mip_pallas import build_mips_auto
+    unlit_mips = build_mips_auto(unlit, cfg.grid.num_levels,
+                                 alpha_mode="max")
 
     light_volume = None
     shadow_map = None
@@ -287,7 +290,8 @@ def _stage_unlit(cfg: VCTConfig, samples: SamplesDevice,
     weights = jnp.ones(samples.positions.shape[0], albedo.dtype)
     unlit = splat(samples.positions, albedo[:, :3], weights,
                   cfg.grid.dim, cfg.grid.world_size, mode=cfg.voxelize.mode)
-    return G.build_mips(unlit, cfg.grid.num_levels, alpha_mode="max")
+    from vct_tpu.ops.mip_pallas import build_mips_auto
+    return build_mips_auto(unlit, cfg.grid.num_levels, alpha_mode="max")
 
 
 @partial(jax.jit, static_argnums=0)

@@ -53,6 +53,7 @@ def generate_surface_samples(
     voxel_world_size: float,
     samples_per_voxel_width: float = 2.0,
     max_samples_per_tri: int = 4096,
+    backend: str = "auto",
 ) -> SurfaceSamples:
     """Stratified barycentric samples, ~density^2 per voxel-sized patch.
 
@@ -60,10 +61,27 @@ def generate_surface_samples(
     voxel_size/density along the longest edge, guaranteeing every voxel a
     triangle crosses receives samples (the coverage property the dominant-
     axis rasterization provides in the reference).
+
+    backend="auto" uses the native C++ generator (vct_tpu/native) when the
+    library is available — identical float math, triangle-major sample
+    order (the numpy path batches triangles by subdivision level; the
+    sample multiset is equal and splat() is order-independent).
+    "python" forces the numpy path.
     """
     tv = scene.triangle_vertices()                    # (T, 3, 3)
     fn = scene.face_normals()
     t_uv = scene.uvs[scene.indices]                   # (T, 3, 2)
+
+    if backend == "auto":
+        from vct_tpu import native
+        got = native.surface_samples(
+            tv, t_uv, fn, scene.tri_material, voxel_world_size,
+            samples_per_voxel_width, max_samples_per_tri)
+        if got is not None:
+            pos, nrm, uv, mat, tri = got
+            return SurfaceSamples(positions=pos, normals=nrm, uvs=uv,
+                                  material_ids=mat, tri_ids=tri)
+
     e1 = tv[:, 1] - tv[:, 0]
     e2 = tv[:, 2] - tv[:, 0]
     e3 = tv[:, 2] - tv[:, 1]

@@ -133,7 +133,30 @@ def _parse_mtl(path: str) -> Dict[str, Material]:
     return mats
 
 
-def load_obj(path: str, flip_uv: bool = True, scale: float = 1.0) -> Scene:
+def _load_obj_native(path: str, flip_uv: bool, scale: float):
+    """Geometry via vct_tpu/native (bit-identical to the Python parser);
+    MTL + textures stay in Python.  None -> caller falls back."""
+    from vct_tpu import native
+    got = native.parse_obj_geometry(path, flip_uv=flip_uv, scale=scale)
+    if got is None:
+        return None
+    pos, uv, nrm, tris, tri_mat, mat_names, mtllibs, any_normals = got
+    base = os.path.dirname(path)
+    mtl: Dict[str, Material] = {}
+    for lib in mtllibs:
+        mtl.update(_parse_mtl(os.path.join(base, lib)))
+    materials = [mtl.get(n, Material(name=n)) for n in mat_names]
+    if not materials:
+        materials = [Material()]
+    if not any_normals or float(np.abs(nrm).sum()) == 0.0:
+        nrm = None
+    return scene_from_arrays(
+        pos, tris, normals=nrm, uvs=uv,
+        tri_material=tri_mat, materials=materials)
+
+
+def load_obj(path: str, flip_uv: bool = True, scale: float = 1.0,
+             backend: str = "auto") -> Scene:
     """Load an OBJ (+MTL) into a Scene.
 
     flip_uv mirrors Assimp's aiProcess_FlipUVs used by the reference
@@ -141,7 +164,16 @@ def load_obj(path: str, flip_uv: bool = True, scale: float = 1.0) -> Scene:
     smooth normals are generated when the file has none
     (GenSmoothNormals analogue).  scale applies the reference's uniform
     model transform (0.05 for Sponza, Voxel_Cone_Tracing.h:183).
+
+    backend="auto" parses geometry with the native C++ parser
+    (vct_tpu/native, the Assimp-import counterpart) when available —
+    bit-identical arrays to the Python parser; MTL/material and texture
+    loading always run in Python.  "python" forces the pure parser.
     """
+    if backend == "auto":
+        got = _load_obj_native(path, flip_uv, scale)
+        if got is not None:
+            return got
     positions: List[Tuple[float, float, float]] = []
     uvs: List[Tuple[float, float]] = []
     normals: List[Tuple[float, float, float]] = []
