@@ -1,0 +1,154 @@
+"""Tiled tap kernel (ops/tap_pallas.py) vs the XLA shading taps:
+shadow_volume_tap + indirect_diffuse_field + raw specular field tap."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vct_tpu.config import preset
+from vct_tpu.core import cones as C
+from vct_tpu.core import dense as D
+from vct_tpu.core import grid as G
+from vct_tpu.ops import tap_pallas as TP
+from vct_tpu.render import shading
+
+WS = 150.0
+LDIM = 32
+FDIM = 16
+NB = 26
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.RandomState(0)
+    cfg = preset("sponza256")
+    cfg = dataclasses.replace(
+        cfg, grid=dataclasses.replace(cfg.grid, dim=LDIM, world_size=WS))
+    voxel = WS / LDIM
+
+    light = jnp.asarray(rng.rand(LDIM, LDIM, LDIM, 1), jnp.float32)
+    light_mips = tuple(
+        m[..., 0] for m in G.build_mips(light, num_levels=2))   # 32,16
+    cfield = NB * 4 * 2
+    field = jnp.asarray(
+        rng.rand(FDIM, FDIM, FDIM, cfield), jnp.float32)
+    field_f32 = tuple(G.build_mips(field, num_levels=2))        # 16,8
+    field_mips = tuple(m.astype(jnp.bfloat16) for m in field_f32)
+
+    # synthetic tile-coherent G-buffer: each tile's points cluster in a
+    # small ball so level-0 bricks fit
+    ntiles = 4
+    n = ntiles * TP.TILE
+    centers = (rng.rand(ntiles, 3) * 0.5 + 0.25) * WS - WS / 2
+    pos = np.repeat(centers, TP.TILE, axis=0) + rng.randn(n, 3) * 1.5
+    normal = rng.randn(n, 3)
+    normal /= np.linalg.norm(normal, axis=1, keepdims=True)
+    tangent = np.cross(normal, [0.1, 0.9, 0.3])
+    tangent /= np.linalg.norm(tangent, axis=1, keepdims=True)
+    bitan = np.cross(normal, tangent)
+    gbuf = np.zeros((n, 24), np.float32)
+    gbuf[:, 0:3] = pos
+    gbuf[:, 3:6] = normal
+    gbuf[:, 6:9] = normal          # geo normal = shading normal here
+    gbuf[:, 9:12] = tangent
+    gbuf[:, 12:15] = bitan
+    gbuf[:, 19] = 1.0
+    gbuf = jnp.asarray(gbuf)
+
+    return cfg, voxel, light_mips, field_mips, field_f32, gbuf, ntiles
+
+
+def _scalars(cfg, voxel, gbuf, ntiles, light_dims, field_dims):
+    pos = gbuf[:, 0:3].reshape(ntiles, TP.TILE, 3)
+    nrm = gbuf[:, 3:6].reshape(ntiles, TP.TILE, 3)
+    geo = gbuf[:, 6:9].reshape(ntiles, TP.TILE, 3)
+    hit = gbuf[:, 19].reshape(ntiles, TP.TILE) > 0.5
+    p_l = pos + geo * (voxel * cfg.shadow.normal_offset)
+    p_f = pos + nrm * voxel
+    llev, lorg = TP.select_bricks(G.world_to_uvw(p_l, WS), hit, light_dims,
+                                  TP.BRICK_L)
+    flev, forg = TP.select_bricks(G.world_to_uvw(p_f, WS), hit, field_dims,
+                                  TP.BRICK_F)
+    return jnp.concatenate(
+        [llev[:, None], lorg, flev[:, None], forg], axis=1).astype(jnp.int32)
+
+
+def _run(cfg, voxel, light_mips, field_mips, gbuf, ntiles):
+    scal = _scalars(cfg, voxel, gbuf, ntiles,
+                    tuple(m.shape[0] for m in light_mips),
+                    tuple(m.shape[0] for m in field_mips))
+    cones_static = (
+        tuple(map(tuple, np.asarray(C.CONE_DIRECTIONS[:6], np.float32))),
+        tuple(np.asarray(C.CONE_WEIGHTS[:6], np.float32)),
+        tuple(map(tuple, D.direction_basis(NB))),
+    )
+    return TP.tap_tiles(
+        gbuf, scal, light_mips, field_mips,
+        world_size=WS, voxel=voxel,
+        shadow_offset=cfg.shadow.normal_offset,
+        power_diffuse=8, cones_static=cones_static, interpret=True)
+
+
+class TestTapKernel:
+    def test_shadow_matches_volume_tap(self, setup):
+        cfg, voxel, light_mips, field_mips, _, gbuf, ntiles = setup
+        out = _run(cfg, voxel, light_mips, field_mips, gbuf, ntiles)
+        lv = light_mips[0][..., None]
+        ref = shading.shadow_volume_tap(cfg, lv, gbuf[:, 0:3], gbuf[:, 6:9])
+        np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_diffuse_matches_field_mode(self, setup):
+        cfg, voxel, light_mips, field_mips, field_f32, gbuf, ntiles = setup
+        out = _run(cfg, voxel, light_mips, field_mips, gbuf, ntiles)
+        # XLA reference on the same bf16-quantized level-0 field
+        dfield = field_mips[0][..., :4 * NB].astype(jnp.float32)
+        pos, nrm = gbuf[:, 0:3], gbuf[:, 3:6]
+        cone_dirs = shading.pixel_cone_dirs(
+            cfg, nrm, gbuf[:, 9:12], gbuf[:, 12:15])
+        ref_rgb, ref_occ = shading.indirect_diffuse_field(
+            cfg, dfield, pos, nrm, cone_dirs)
+        # kernel runs the field matmul in bf16: tolerance ~1e-2 relative
+        np.testing.assert_allclose(np.asarray(out[:, 1:4]),
+                                   np.asarray(ref_rgb),
+                                   rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(out[:, 4]),
+                                   np.asarray(ref_occ),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_spec_tap_matches_trilinear(self, setup):
+        cfg, voxel, light_mips, field_mips, field_f32, gbuf, ntiles = setup
+        out = _run(cfg, voxel, light_mips, field_mips, gbuf, ntiles)
+        pos, nrm = gbuf[:, 0:3], gbuf[:, 3:6]
+        p = pos + nrm * voxel
+        uvw = G.world_to_uvw(p, WS)
+        sfield = field_mips[0][..., 4 * NB:].astype(jnp.float32)
+        ref = G.trilinear_sample(sfield, uvw)
+        np.testing.assert_allclose(np.asarray(out[:, 8:]),
+                                   np.asarray(ref),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_coarse_level_fallback(self, setup):
+        """A tile whose AABB exceeds the finest brick uses a coarser level;
+        the kernel then matches trilinear on that level."""
+        cfg, voxel, light_mips, field_mips, _, gbuf0, _ = setup
+        rng = np.random.RandomState(3)
+        n = TP.TILE
+        pos = (rng.rand(n, 3) - 0.5) * WS * 0.8       # spans most of the grid
+        g = np.asarray(gbuf0[:n]).copy()
+        g[:, 0:3] = pos
+        g[:, 6:9] = g[:, 3:6]
+        gbuf = jnp.asarray(g)
+        out = _run(cfg, voxel, light_mips, field_mips, gbuf, 1)
+        scal = _scalars(cfg, voxel, gbuf, 1,
+                        tuple(m.shape[0] for m in light_mips),
+                        tuple(m.shape[0] for m in field_mips))
+        llev = int(scal[0, 0])
+        assert llev > 0, "expected a coarser light level for a huge AABB"
+        lv = light_mips[llev][..., None]
+        ref = shading.shadow_volume_tap(cfg, lv, gbuf[:, 0:3], gbuf[:, 6:9])
+        np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)

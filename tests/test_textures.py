@@ -161,3 +161,52 @@ class TestRendererIntegration:
         bg = np.asarray(cfg.render.background, np.float32)
         np.testing.assert_allclose(
             img, np.broadcast_to(bg, img.shape), atol=1e-5)
+
+
+class TestPackedAtlas:
+    """Corner-packed atlas (TX.pack_atlas/sample_packed): one fetch per
+    pixel reproduces sample_atlas + bump_normal exactly."""
+
+    def _atlas(self):
+        rng = np.random.RandomState(7)
+        mats = [
+            Material(name="a", albedo=(1, 1, 1, 1),
+                     albedo_texture=rng.rand(16, 16, 4).astype(np.float32),
+                     specular_texture=rng.rand(16, 16, 3).astype(np.float32),
+                     height_texture=rng.rand(16, 16).astype(np.float32)),
+            Material(name="b", albedo=(0.2, 0.4, 0.6, 1.0)),
+        ]
+        return TX.TextureAtlas.from_materials(mats, resolution=16)
+
+    def test_color_matches_sample_atlas(self):
+        atlas = self._atlas()
+        packed = TX.pack_atlas(atlas)
+        rng = np.random.RandomState(1)
+        uv = jnp.asarray(rng.rand(257, 2).astype(np.float32) * 3.0 - 1.0)
+        mid = jnp.asarray(rng.randint(0, 2, 257))
+        alb, spec, _ = TX.sample_packed(packed, atlas.resolution, mid, uv)
+        ref_a = TX.sample_atlas(atlas.albedo, mid, uv)
+        ref_s = TX.sample_atlas(atlas.specular, mid, uv)
+        np.testing.assert_allclose(np.asarray(alb), np.asarray(ref_a),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(spec), np.asarray(ref_s),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_bump_matches_bump_normal(self):
+        atlas = self._atlas()
+        packed = TX.pack_atlas(atlas)
+        rng = np.random.RandomState(2)
+        n = 129
+        uv = jnp.asarray(rng.rand(n, 2).astype(np.float32))
+        mid = jnp.zeros((n,), jnp.int32)
+        nrm = jnp.asarray(
+            rng.randn(n, 3).astype(np.float32))
+        nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+        tan = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+        bit = jnp.asarray(rng.randn(n, 3).astype(np.float32))
+        _, _, (h0, hx, hy) = TX.sample_packed(
+            packed, atlas.resolution, mid, uv)
+        out = TX.bump_normal_from_heights(h0, hx, hy, tan, bit, nrm)
+        ref = TX.bump_normal(atlas, mid, uv, tan, bit, nrm)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)

@@ -25,7 +25,7 @@ camera/geometry-gradient experiments.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,19 +45,24 @@ def _chunk_size(tp: int) -> int:
     """Triangles per inner iteration: one chunk when the table is small
     (avoids padding 1.1k triangles up to 2k), else TCHUNK."""
     return tp if tp <= 2 * TCHUNK else TCHUNK
-NATTR = 40              # vn9 vt9 vb9 uv6 fn3 mat1 -> padded to 40
-NOUT = 24               # pos3 n3 gn3 t3 b3 uv2 mat1 t1 hit1 -> padded to 24
+NATTR = 48              # vn9 vt9 vb9 uv6 fn3 mat1 albedo4 spec3 -> pad 48
+NOUT = 32               # pos3 n3 gn3 t3 b3 uv2 mat1 t1 hit1 alb4 spec3 -> 32
 _BIG = 3.0e38           # ~f32 max: "no hit" sentinel that survives arithmetic
 
 
-def pack_tables(ds: DeviceScene, origin: Array) -> Tuple[Array, Array, int]:
+def pack_tables(ds: DeviceScene, origin: Array,
+                albedo: Optional[Array] = None,
+                specular: Optional[Array] = None
+                ) -> Tuple[Array, Array, int]:
     """Per-triangle tables for a fixed ray origin.
 
     Returns (isect (16, Tp), attrs (Tp, NATTR), T) with Tp padded to a
     TCHUNK multiple.  isect rows: 0:3 a (det = d.a), 3:6 b (u*det = d.b),
     6:9 c (v*det = d.c), 9 k (t*det = e2.c), rest zero.  Padding columns
     have a = 0 so det = 0 -> invalid.  attrs columns: vn(9) vt(9) vb(9)
-    uv(6) face_normal(3) material(1), zero-padded.
+    uv(6) face_normal(3) material(1) albedo(4) specular(3), zero-padded.
+    albedo (M, 4) / specular (M, 3) are per-MATERIAL constants expanded to
+    per-triangle rows, so flat-colored scenes shade with zero gathers.
     """
     t = ds.v0.shape[0]
     tvec = origin[None, :] - ds.v0
@@ -68,6 +73,10 @@ def pack_tables(ds: DeviceScene, origin: Array) -> Tuple[Array, Array, int]:
     isect = jnp.concatenate(
         [a, b, c, k, jnp.zeros((t, 6), a.dtype)], axis=-1)     # (T, 16)
 
+    alb = (albedo[ds.material] if albedo is not None
+           else jnp.zeros((t, 4), jnp.float32))
+    spec = (specular[ds.material] if specular is not None
+            else jnp.zeros((t, 3), jnp.float32))
     attrs = jnp.concatenate([
         ds.vn.reshape(t, 9),
         ds.vt.reshape(t, 9),
@@ -75,7 +84,9 @@ def pack_tables(ds: DeviceScene, origin: Array) -> Tuple[Array, Array, int]:
         ds.vuv.reshape(t, 6),
         ds.face_normal,
         ds.material.astype(jnp.float32)[:, None],
-        jnp.zeros((t, NATTR - 37), jnp.float32),
+        alb,
+        spec,
+        jnp.zeros((t, NATTR - 44), jnp.float32),
     ], axis=-1)                                                # (T, NATTR)
 
     tp128 = -(-t // 128) * 128                 # lane-aligned triangle count
@@ -156,6 +167,8 @@ def _kernel(dirs_ref, o_ref, isect_ref, attrs_ref, out_ref, *, tp: int,
     vuv = g[:, 30:36]
     fn = g[:, 36:39]
     mat = g[:, 39:40]
+    alb = g[:, 40:44]
+    spec = g[:, 44:47]
 
     def interp3(a9):
         return w0 * a9[:, 0:3] + u * a9[:, 3:6] + v * a9[:, 6:9]
@@ -172,8 +185,8 @@ def _kernel(dirs_ref, o_ref, isect_ref, attrs_ref, out_ref, *, tp: int,
     pos = o + ts * d
     out = jnp.concatenate([
         pos, normal, fn, tangent, bitan, uv, mat, ts,
-        hit.astype(jnp.float32),
-        jnp.zeros((TILE, NOUT - 20), jnp.float32),
+        hit.astype(jnp.float32), alb, spec,
+        jnp.zeros((TILE, NOUT - 27), jnp.float32),
     ], axis=1)
     out_ref[...] = out
 
@@ -185,7 +198,8 @@ def raycast_gbuf24(dirs: Array, origin: Array, isect: Array, attrs: Array,
 
     N must be a multiple of TILE; isect/attrs from pack_tables.
     Columns: 0:3 position, 3:6 shading normal, 6:9 geo normal, 9:12 tangent,
-    12:15 bitangent, 15:17 uv, 17 material (f32), 18 t, 19 hit.
+    12:15 bitangent, 15:17 uv, 17 material (f32), 18 t, 19 hit,
+    20:24 material albedo, 24:27 material specular.
     """
     n = dirs.shape[0]
     assert n % TILE == 0, n

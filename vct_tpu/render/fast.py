@@ -1,0 +1,217 @@
+"""The TPU fast frame path: Pallas raycast + tiled deferred shading taps.
+
+Assembles the interactive camera pass (VERDICT.md round-1 item 1) from:
+
+  1. ops/raycast_pallas.py — pinhole closest-hit + G-buffer in VMEM
+  2. an XLA prepass selecting, per 16x16 image tile, the mip level + brick
+     origin covering the tile's tap points (ops/tap_pallas.select_bricks)
+  3. ops/tap_pallas.py — per-tile brick DMA + MXU trilinear taps for the
+     shadow volume and the fused diffuse+specular cone fields
+  4. one corner-packed atlas gather per pixel for albedo/specular/bump
+     (scene/textures.pack_atlas) — or zero gathers for flat-colored scenes
+     (material constants ride the raycast kernel's one-hot matmul)
+  5. shading.combine (VoxelConeTracing.fs:165-228) and image untiling.
+
+Semantics vs the reference path (renderer.render_rays at shadow.mode=
+"volume", cones *_mode="field"): identical math except (a) fields/volumes
+are sampled at a per-tile mip level when a tile's footprint exceeds one
+brick at level 0 (the same footprint->lod rule the cone march uses), and
+(b) the field brick matmul runs in bfloat16.  tests/test_fast.py bounds
+the end-to-end difference.
+
+Requires cfg.shadow.mode == "volume", cones.diffuse_mode == "field" and
+specular field-or-off; renderer paths remain for everything else.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vct_tpu.config import VCTConfig
+from vct_tpu.core import cones as C
+from vct_tpu.core import dense as D
+from vct_tpu.core import grid as G
+from vct_tpu.ops import raycast_pallas as RP
+from vct_tpu.ops import tap_pallas as TP
+from vct_tpu.render import shading
+from vct_tpu.render.gbuffer import DeviceScene
+from vct_tpu.render.renderer import MaterialTable, VoxelState
+from vct_tpu.scene import textures as TX
+
+Array = jax.Array
+
+TS = 16   # image tile side; TS*TS == tap_pallas.TILE
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FrameTables:
+    """Per-voxel-state tables the fast path samples from."""
+
+    light_mips: Tuple[Array, ...]        # each (D, D, D) f32, down to 8^3
+    field_mips: Tuple[Array, ...]        # each (D, D, D, C) bf16, down to 8^3
+    packed_atlas: Optional[Array]        # (M, R, R, PACKED_CH) or None
+
+
+def supported(cfg: VCTConfig) -> bool:
+    """Does this config route through the fast path?"""
+    return (cfg.shadow.mode == "volume"
+            and cfg.cones.diffuse_mode == "field"
+            and (not cfg.cones.trace_specular
+                 or cfg.cones.specular_mode == "field"))
+
+
+def _mips_to(vol: Array, floor_dim: int) -> Tuple[Array, ...]:
+    d = vol.shape[0]
+    n = int(np.log2(d // floor_dim)) + 1
+    return G.build_mips(vol, num_levels=n)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def build_frame_tables(cfg: VCTConfig, voxels: VoxelState,
+                       mats: MaterialTable) -> FrameTables:
+    """Light-transmittance mips + fused field mips + packed atlas.
+
+    Coarsest level equals the tap brick (8^3) so every tile fits some level.
+    """
+    assert supported(cfg), "fast path needs volume shadows + field cones"
+    light_mips = tuple(
+        m[..., 0] for m in _mips_to(voxels.light_volume, TP.BRICK_L))
+    fields = [voxels.diffuse_field]
+    if voxels.specular_field is not None:
+        fields.append(voxels.specular_field)
+    fused = jnp.concatenate(fields, axis=-1)
+    field_mips = tuple(
+        m.astype(jnp.bfloat16) for m in _mips_to(fused, TP.BRICK_F))
+    packed = TX.pack_atlas(mats.atlas) if mats.atlas is not None else None
+    return FrameTables(light_mips=light_mips, field_mips=field_mips,
+                       packed_atlas=packed)
+
+
+def _tile_order(img: Array, hp: int, wp: int) -> Array:
+    """(H', W', ...) -> tile-major (ntiles*TILE, ...)."""
+    c = img.shape[2:]
+    x = img.reshape((hp // TS, TS, wp // TS, TS) + c)
+    x = jnp.moveaxis(x, 2, 1)
+    return x.reshape((hp // TS * (wp // TS) * TS * TS,) + c)
+
+
+def _untile(flat: Array, hp: int, wp: int) -> Array:
+    c = flat.shape[1:]
+    x = flat.reshape((hp // TS, wp // TS, TS, TS) + c)
+    x = jnp.moveaxis(x, 2, 1)
+    return x.reshape((hp, wp) + c)
+
+
+def _cones_static(cfg: VCTConfig):
+    k = cfg.cones.num_diffuse_cones
+    return (
+        tuple(map(tuple, np.asarray(C.CONE_DIRECTIONS[:k], np.float32))),
+        tuple(float(w) for w in C.CONE_WEIGHTS[:k]),
+        tuple(map(tuple, D.direction_basis(cfg.cones.field_basis))),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("interpret",))
+def render_frame(cfg: VCTConfig,
+                 ds: DeviceScene,
+                 tables: FrameTables,
+                 mats: MaterialTable,
+                 origins: Array,             # (H, W, 3) camera rays
+                 dirs: Array,                # (H, W, 3)
+                 camera_position: Array,     # (3,)
+                 light_dir: Optional[Array] = None,
+                 interpret: bool = False) -> Array:
+    """Full camera pass -> (H, W, 3) linear RGB."""
+    h, w = dirs.shape[:2]
+    hp = -(-h // TS) * TS
+    wp = -(-w // TS) * TS
+    if light_dir is None:
+        light_dir = jnp.asarray(cfg.light.direction, jnp.float32)
+        light_dir = light_dir / jnp.linalg.norm(light_dir)
+
+    d = jnp.pad(dirs, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+    d = _tile_order(d, hp, wp)                             # (N, 3)
+    origin = origins.reshape(-1, 3)[0]
+
+    # 1. raycast
+    isect, attrs, _ = RP.pack_tables(ds, origin, mats.albedo, mats.specular)
+    g = RP.raycast_gbuf24(d, origin, isect, attrs, interpret=interpret)
+
+    # 2. per-tile brick selection
+    ntiles = g.shape[0] // TP.TILE
+    voxel = cfg.grid.voxel_world_size
+    ws = cfg.grid.world_size
+
+    def tiled(x):
+        return x.reshape((ntiles, TP.TILE) + x.shape[1:])
+
+    pos = g[:, 0:3]
+    nrm = g[:, 3:6]
+    geo = g[:, 6:9]
+    hit = g[:, 19] > 0.5
+    p_l = pos + geo * (voxel * cfg.shadow.normal_offset)
+    p_f = pos + nrm * voxel
+    light_dims = tuple(m.shape[0] for m in tables.light_mips)
+    field_dims = tuple(m.shape[0] for m in tables.field_mips)
+    llev, lorg = TP.select_bricks(
+        tiled(G.world_to_uvw(p_l, ws)), tiled(hit), light_dims, TP.BRICK_L)
+    flev, forg = TP.select_bricks(
+        tiled(G.world_to_uvw(p_f, ws)), tiled(hit), field_dims, TP.BRICK_F)
+    scal = jnp.concatenate(
+        [llev[:, None], lorg, flev[:, None], forg], axis=1).astype(jnp.int32)
+
+    # 3. taps
+    taps = TP.tap_tiles(
+        g, scal, tables.light_mips, tables.field_mips,
+        world_size=ws, voxel=voxel,
+        shadow_offset=cfg.shadow.normal_offset,
+        power_diffuse=int(cfg.cones.basis_power_diffuse),
+        cones_static=_cones_static(cfg), interpret=interpret)
+    shadow = taps[:, 0]
+    ind_d_rgb = taps[:, 1:4]
+    ind_d_occ = taps[:, 4]
+
+    # 4. material fetch (one packed row) + bump + specular weighting
+    if tables.packed_atlas is not None:
+        material = g[:, 17].astype(jnp.int32)
+        res = tables.packed_atlas.shape[1]
+        albedo4, spec, (h0, hx, hy) = TX.sample_packed(
+            tables.packed_atlas, res, material, g[:, 15:17])
+        shade_normal = TX.bump_normal_from_heights(
+            h0, hx, hy, g[:, 9:12], g[:, 12:15], nrm)
+    else:
+        albedo4 = g[:, 20:24]
+        spec = g[:, 24:27]
+        shade_normal = nrm
+    spec = shading.spec_gray_fallback(spec)
+
+    eye = shading.C.normalize(camera_position - pos)
+    if cfg.cones.trace_specular:
+        refl = shading.reflect_eye(shade_normal, eye)
+        basis = D.direction_basis(cfg.cones.field_basis)
+        sw = D.basis_weights(refl, basis, cfg.cones.basis_power_specular)
+        stap = taps[:, 8:].reshape(-1, cfg.cones.field_basis, 4)
+        sout = jnp.einsum("nb,nbc->nc", sw, stap)
+        ind_s_rgb, ind_s_occ = sout[:, :3], sout[:, 3]
+    else:
+        ind_s_rgb = jnp.zeros_like(ind_d_rgb)
+        ind_s_occ = jnp.zeros_like(ind_d_occ)
+
+    # 5. combine + background + untile
+    rgb = shading.combine(
+        cfg, albedo=albedo4[:, :3], spec_color=spec, normal=shade_normal,
+        light_dir=light_dir, eye_dir=eye, shadow=shadow,
+        ind_diffuse_rgb=ind_d_rgb, ind_diffuse_occ=ind_d_occ,
+        ind_spec_rgb=ind_s_rgb, ind_spec_occ=ind_s_occ,
+        shininess=cfg.render.shininess)
+    bg = jnp.asarray(cfg.render.background, rgb.dtype)
+    visible = hit & (albedo4[:, 3] >= cfg.render.alpha_threshold)
+    rgb = jnp.where(visible[:, None], rgb, bg)
+    return _untile(rgb, hp, wp)[:h, :w]

@@ -176,3 +176,87 @@ def bump_normal(atlas: TextureAtlas, material_id: Array, uv: Array,
 
 def _norm3(v: Array) -> Array:
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# corner-packed atlas: ONE gather row per pixel for albedo + specular + the
+# full bump-normal height neighborhood.  XLA gathers are row-bound (~50M
+# rows/s regardless of width, scripts/bench_gather.py), so the win is
+# collapsing the 20 rows/pixel of sample_atlas + bump_normal into 1.
+# ---------------------------------------------------------------------------
+
+PACKED_CH = 40   # 4 corners x (albedo4 + spec3) = 28, height 3x3 = 9, pad 40
+
+
+def pack_atlas(atlas: TextureAtlas) -> Array:
+    """(M, R, R, PACKED_CH): texel (v, u) holds its 2x2 bilinear footprint
+    of [albedo|specular] (corners (dv,du) in row-major order) plus the 3x3
+    height neighborhood rows (v-1, v, v+1) x cols (u, u+1, u+2) needed by
+    the three bump taps (h0/hx/hy, VoxelConeTracing.fs:110-126).  REPEAT
+    wrap baked in via jnp.roll."""
+    color = jnp.concatenate([atlas.albedo, atlas.specular], axis=-1)  # 7ch
+    parts = []
+    for dv in (0, 1):
+        for du in (0, 1):
+            parts.append(jnp.roll(color, (-dv, -du), axis=(1, 2)))
+    h = atlas.height
+    for dv in (-1, 0, 1):
+        for du in (0, 1, 2):
+            parts.append(jnp.roll(h, (-dv, -du), axis=(1, 2)))
+    packed = jnp.concatenate(parts, axis=-1)                          # 37ch
+    m, rh, rw, c = packed.shape
+    return jnp.concatenate(
+        [packed, jnp.zeros((m, rh, rw, PACKED_CH - c), packed.dtype)],
+        axis=-1)
+
+
+def sample_packed(packed: Array, resolution: int, material_id: Array,
+                  uv: Array):
+    """One packed-row fetch -> (albedo4, specular3, (h0, hx, hy)).
+
+    Matches sample_atlas's bilinear REPEAT fetch and bump_normal's three
+    height taps exactly (same texel footprints, same weights).
+    """
+    rh = rw = resolution
+    u = uv[..., 0] * rw - 0.5
+    v = (1.0 - uv[..., 1]) * rh - 0.5
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = (u - u0)[..., None]
+    fv = (v - v0)[..., None]
+    u0 = jnp.remainder(u0.astype(jnp.int32), rw)
+    v0 = jnp.remainder(v0.astype(jnp.int32), rh)
+
+    flat = packed.reshape(-1, packed.shape[-1])
+    row = flat[material_id * (rh * rw) + v0 * rw + u0]    # (..., PACKED_CH)
+
+    def bilerp(c00, c01, c10, c11):
+        top = c00 * (1 - fu) + c01 * fu
+        bot = c10 * (1 - fu) + c11 * fu
+        return top * (1 - fv) + bot * fv
+
+    c = [row[..., i * 7:(i + 1) * 7] for i in range(4)]   # (dv,du) corners
+    color = bilerp(c[0], c[1], c[2], c[3])
+    albedo, spec = color[..., :4], color[..., 4:7]
+
+    # height grid rows (v-1, v, v+1) x cols (u, u+1, u+2), row-major
+    hg = [row[..., 28 + i:29 + i] for i in range(9)]
+    h0 = bilerp(hg[3], hg[4], hg[6], hg[7])               # rows v,v+1 cols u,u+1
+    hx = bilerp(hg[4], hg[5], hg[7], hg[8])               # cols u+1,u+2
+    hy = bilerp(hg[0], hg[1], hg[3], hg[4])               # rows v-1,v
+    return albedo, spec, (h0[..., 0], hx[..., 0], hy[..., 0])
+
+
+def bump_normal_from_heights(h0: Array, hx: Array, hy: Array, tangent: Array,
+                             bitangent: Array, normal: Array) -> Array:
+    """bump_normal's tangent-frame math given the three height taps."""
+    dx = hx - h0
+    dy = hy - h0
+    one = jnp.ones_like(dx)
+    zero = jnp.zeros_like(dx)
+    t1 = _norm3(jnp.stack([one, zero, dx], axis=-1))
+    t2 = _norm3(jnp.stack([zero, one, dy], axis=-1))
+    bn = _norm3(jnp.cross(t1, t2))
+    world = (tangent * bn[..., 0:1] + bitangent * bn[..., 1:2]
+             + normal * bn[..., 2:3])
+    return _norm3(world)
