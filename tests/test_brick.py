@@ -111,3 +111,71 @@ class TestShardMips:
         placed = B.shard_mips(mesh4, mips, n_min_rows=4)
         assert placed[0].sharding.spec[0] == "model"       # 32 rows: sharded
         assert placed[-1].sharding.spec == ()  # 1^3: replicated
+
+
+class TestRendererIntegration:
+    """VERDICT round-1 item 2: full build_voxel_state with brick sharding
+    == the replicated build, end to end on the fake mesh."""
+
+    def _setup(self, brick_parallel):
+        import dataclasses
+        from vct_tpu.config import preset
+        from vct_tpu.render import renderer as R
+        from vct_tpu.scene.cornell import cornell_box
+
+        cfg = preset("sponza256")
+        cfg = dataclasses.replace(
+            cfg,
+            grid=dataclasses.replace(cfg.grid, dim=32, compute="float32"),
+            cones=dataclasses.replace(cfg.cones, field_dim=32),
+            sharding=dataclasses.replace(
+                cfg.sharding, data_parallel=8 // brick_parallel,
+                brick_parallel=brick_parallel),
+        )
+        scene = cornell_box(size=100.0)
+        ds, mats, samples = R.prepare_scene(cfg, scene)
+        return cfg, R, samples, mats
+
+    def test_build_voxel_state_sharded_matches_replicated(self):
+        import dataclasses
+        cfg, R, samples, mats = self._setup(brick_parallel=4)
+        mesh = meshlib.make_mesh_for(cfg)
+        sharded = R.build_voxel_state(cfg, samples, mats, mesh=mesh)
+        cfg_rep = dataclasses.replace(
+            cfg, sharding=dataclasses.replace(cfg.sharding,
+                                              brick_parallel=1))
+        rep = R.build_voxel_state(cfg_rep, samples, mats)
+        np.testing.assert_allclose(
+            np.asarray(sharded.light_volume), np.asarray(rep.light_volume),
+            rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(sharded.diffuse_field), np.asarray(rep.diffuse_field),
+            rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(sharded.specular_field),
+            np.asarray(rep.specular_field), rtol=2e-5, atol=2e-5)
+
+    def test_sharded_outputs_are_model_sharded(self):
+        cfg, R, samples, mats = self._setup(brick_parallel=4)
+        mesh = meshlib.make_mesh_for(cfg)
+        out = R.build_voxel_state(cfg, samples, mats, mesh=mesh)
+        spec = out.light_volume.sharding.spec
+        assert "model" in str(spec), spec
+
+    def test_staged_build_matches(self):
+        cfg, R, samples, mats = self._setup(brick_parallel=2)
+        mesh = meshlib.make_mesh_for(cfg)
+        a = R.build_voxel_state(cfg, samples, mats, mesh=mesh)
+        b = R.build_voxel_state_staged(cfg, samples, mats, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(a.diffuse_field),
+                                   np.asarray(b.diffuse_field),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_anisotropic_raises(self):
+        import dataclasses
+        cfg, R, samples, mats = self._setup(brick_parallel=4)
+        cfg = dataclasses.replace(
+            cfg, grid=dataclasses.replace(cfg.grid, anisotropic=True))
+        mesh = meshlib.make_mesh_for(cfg)
+        with pytest.raises(NotImplementedError):
+            R.build_voxel_state(cfg, samples, mats, mesh=mesh)

@@ -158,13 +158,21 @@ class VoxelizeConfig:
 
 @dataclasses.dataclass(frozen=True)
 class ShardingConfig:
-    """Multi-device layout (SURVEY.md §2.4)."""
+    """Multi-device layout (SURVEY.md §2.4).
+
+    data_parallel: image tiles / surface samples over the 'data' mesh axis.
+    brick_parallel: >1 shards the voxel pyramid's fine mip levels (and the
+      dense marches' field outputs) along x over the 'model' axis, with
+      static halo exchange per march step group (parallel/brick.py — halo
+      widths are derived from the march schedule, not configured).
+    Consumed by parallel.mesh.make_mesh_for(cfg) and renderer.
+    build_voxel_state(..., mesh=...).
+    """
 
     data_axis: str = "data"          # image-tile data parallelism
     model_axis: str = "model"        # voxel-brick spatial parallelism
     data_parallel: int = 1
-    brick_parallel: int = 1          # >1 shards the finest mip level along z
-    halo_voxels: int = 4
+    brick_parallel: int = 1          # >1 shards fine mip levels along x
 
 
 @dataclasses.dataclass(frozen=True)

@@ -40,6 +40,44 @@ def make_mesh(
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def make_mesh_for(cfg, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Mesh from VCTConfig.sharding: ('data', 'model') with
+    data_parallel x brick_parallel devices (BASELINE config 5 shape)."""
+    return make_mesh(n_data=cfg.sharding.data_parallel,
+                     n_model=cfg.sharding.brick_parallel,
+                     devices=devices)
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host entry: initialize the JAX coordination service.
+
+    Call once per process before make_mesh*; afterwards jax.devices()
+    spans every host's chips and the mesh/collectives ride ICI within a
+    slice and DCN across slices (SURVEY.md §2.4 comm-backend row).
+
+    Args default from the standard env vars (COORDINATOR_ADDRESS,
+    NUM_PROCESSES, PROCESS_ID) when omitted; on single-process runs with
+    none of those set this is a no-op.  Returns the process count.
+    """
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "COORDINATOR_ADDRESS")
+    if num_processes is None and "NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["NUM_PROCESSES"])
+    if process_id is None and "PROCESS_ID" in os.environ:
+        process_id = int(os.environ["PROCESS_ID"])
+    if coordinator_address is None and num_processes in (None, 1):
+        return 1                                   # single-process run
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
+    return jax.process_count()
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

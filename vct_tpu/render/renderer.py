@@ -158,6 +158,7 @@ def sample_indirect_diffuse(
     radiance_mips,
     positions: Array,
     normals: Array,
+    mesh=None,
 ) -> Tuple[Array, Array]:
     """6-cone indirect-diffuse gather at surface points through the current
     radiance pyramid — the cone trace inside the voxelization pass that the
@@ -168,7 +169,7 @@ def sample_indirect_diffuse(
     cone_dirs = shading.pixel_cone_dirs(cfg, normals, t, bt)
     if cfg.cones.diffuse_mode == "field":
         field = shading.build_cone_field(
-            cfg, radiance_mips, shading.diffuse_schedule(cfg))
+            cfg, radiance_mips, shading.diffuse_schedule(cfg), mesh=mesh)
         return shading.indirect_diffuse_field(
             cfg, field, positions, normals, cone_dirs)
     return shading.indirect_diffuse_percone(
@@ -182,12 +183,13 @@ def _inject_bounce(
     direct_radiance: Array,      # (S, 3) bounce-0 injection (lit + emissive)
     weights: Array,              # (S,)
     radiance_mips,
+    mesh=None,
 ) -> Tuple[Array, ...]:
     """One extra GI bounce: gather indirect at every surface sample, add the
     Lambertian re-emission albedo * occlusion * indirect (the surface
     combine of fs:205 applied at the voxel sample), re-splat, rebuild mips."""
     ind_rgb, ind_occ = sample_indirect_diffuse(
-        cfg, radiance_mips, samples.positions, samples.normals)
+        cfg, radiance_mips, samples.positions, samples.normals, mesh=mesh)
     bounce = albedo_rgb * (1.0 - ind_occ)[:, None] * ind_rgb
     lit = splat(samples.positions, direct_radiance + bounce, weights,
                 cfg.grid.dim, cfg.grid.world_size, mode=cfg.voxelize.mode)
@@ -200,6 +202,7 @@ def build_voxel_state(
     mats: MaterialTable,
     light_dir: Optional[Array] = None,
     light_color: Optional[Array] = None,
+    mesh=None,
 ) -> VoxelState:
     """Voxelization + radiance injection + mip build (startup passes §3.3).
 
@@ -211,6 +214,10 @@ def build_voxel_state(
     Stage 4: isotropic mip chains (Voxel_Cone_Tracing.h:248).
     Stage 5: optional extra GI bounces (light.gi_bounces > 2): re-gather +
              re-inject + rebuild mips per bounce.
+
+    With cfg.sharding.brick_parallel > 1 pass the ('data','model') mesh:
+    the dense marches (light volume, cone fields) run brick-sharded along
+    x over the model axis (SURVEY.md §2.4 TP row; BASELINE config 5).
     """
     dim, ws = cfg.grid.dim, cfg.grid.world_size
     if light_dir is None:
@@ -234,7 +241,8 @@ def build_voxel_state(
     shadow_map = None
     if cfg.shadow.mode == "volume":
         # dense light-transmittance volume; per-sample shadow is one tap
-        light_volume = shading.build_light_volume(cfg, unlit_mips)
+        light_volume = shading.build_light_volume(cfg, unlit_mips,
+                                                  mesh=mesh)
         shadow = shading.shadow_volume_tap(
             cfg, light_volume, samples.positions, samples.normals)
     elif cfg.shadow.mode == "map":
@@ -256,16 +264,17 @@ def build_voxel_state(
 
     for _ in range(max(0, cfg.light.gi_bounces - 2)):
         radiance_mips = _inject_bounce(
-            cfg, samples, albedo[:, :3], radiance, weights, radiance_mips)
+            cfg, samples, albedo[:, :3], radiance, weights, radiance_mips,
+            mesh=mesh)
 
     diffuse_field = None
     if cfg.cones.diffuse_mode == "field":
         diffuse_field = shading.build_cone_field(
-            cfg, radiance_mips, shading.diffuse_schedule(cfg))
+            cfg, radiance_mips, shading.diffuse_schedule(cfg), mesh=mesh)
     specular_field = None
     if cfg.cones.trace_specular and cfg.cones.specular_mode == "field":
         specular_field = shading.build_cone_field(
-            cfg, radiance_mips, shading.specular_schedule(cfg))
+            cfg, radiance_mips, shading.specular_schedule(cfg), mesh=mesh)
 
     return VoxelState(
         radiance_mips=radiance_mips,
@@ -294,9 +303,9 @@ def _stage_unlit(cfg: VCTConfig, samples: SamplesDevice,
     return build_mips_auto(unlit, cfg.grid.num_levels, alpha_mode="max")
 
 
-@partial(jax.jit, static_argnums=0)
-def _stage_light_volume(cfg: VCTConfig, unlit_mips):
-    return shading.build_light_volume(cfg, unlit_mips)
+@partial(jax.jit, static_argnums=0, static_argnames=("mesh",))
+def _stage_light_volume(cfg: VCTConfig, unlit_mips, mesh=None):
+    return shading.build_light_volume(cfg, unlit_mips, mesh=mesh)
 
 
 @partial(jax.jit, static_argnums=0)
@@ -338,11 +347,11 @@ def _stage_bounce(cfg: VCTConfig, samples: SamplesDevice,
                           weights, radiance_mips)
 
 
-@partial(jax.jit, static_argnums=(0, 2))
-def _stage_field(cfg: VCTConfig, radiance_mips, which: str):
+@partial(jax.jit, static_argnums=(0, 2), static_argnames=("mesh",))
+def _stage_field(cfg: VCTConfig, radiance_mips, which: str, mesh=None):
     sched = (shading.diffuse_schedule(cfg) if which == "diffuse"
              else shading.specular_schedule(cfg))
-    return shading.build_cone_field(cfg, radiance_mips, sched)
+    return shading.build_cone_field(cfg, radiance_mips, sched, mesh=mesh)
 
 
 def build_voxel_state_staged(
@@ -351,6 +360,7 @@ def build_voxel_state_staged(
     mats: MaterialTable,
     light_dir: Optional[Array] = None,
     light_color: Optional[Array] = None,
+    mesh=None,
 ) -> VoxelState:
     """build_voxel_state with per-stage jit boundaries (same results)."""
     if light_dir is None:
@@ -358,7 +368,7 @@ def build_voxel_state_staged(
     if light_color is None:
         light_color = jnp.asarray(cfg.light.color, jnp.float32)
     unlit_mips = _stage_unlit(cfg, samples, mats)
-    light_volume = (_stage_light_volume(cfg, unlit_mips)
+    light_volume = (_stage_light_volume(cfg, unlit_mips, mesh=mesh)
                     if cfg.shadow.mode == "volume" else None)
     shadow_map = (_stage_shadow_map(cfg, samples)
                   if cfg.shadow.mode == "map" else None)
@@ -368,10 +378,10 @@ def build_voxel_state_staged(
     for _ in range(max(0, cfg.light.gi_bounces - 2)):
         radiance_mips = _stage_bounce(
             cfg, samples, mats, direct_radiance, radiance_mips)
-    diffuse_field = (_stage_field(cfg, radiance_mips, "diffuse")
+    diffuse_field = (_stage_field(cfg, radiance_mips, "diffuse", mesh=mesh)
                      if cfg.cones.diffuse_mode == "field" else None)
     specular_field = (
-        _stage_field(cfg, radiance_mips, "specular")
+        _stage_field(cfg, radiance_mips, "specular", mesh=mesh)
         if cfg.cones.trace_specular and cfg.cones.specular_mode == "field"
         else None)
     return VoxelState(

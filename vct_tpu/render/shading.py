@@ -97,8 +97,26 @@ def shadow_cone_value(
     return jnp.prod(keep, axis=-1)
 
 
+def _use_brick_sharding(cfg: VCTConfig, mesh) -> bool:
+    """Route the dense marches through parallel/brick.py?  Requires a mesh
+    with a populated model axis; anisotropic stacks stay local (brick.py
+    is isotropic-only for now)."""
+    if mesh is None or cfg.sharding.brick_parallel <= 1:
+        return False
+    if cfg.grid.anisotropic:
+        raise NotImplementedError(
+            "brick_parallel > 1 with anisotropic mips is not supported; "
+            "set grid.anisotropic=False or brick_parallel=1")
+    if mesh.shape[cfg.sharding.model_axis] != cfg.sharding.brick_parallel:
+        raise ValueError(
+            f"mesh '{cfg.sharding.model_axis}' axis is "
+            f"{mesh.shape[cfg.sharding.model_axis]}, config asks "
+            f"brick_parallel={cfg.sharding.brick_parallel}")
+    return True
+
+
 def build_light_volume(cfg: VCTConfig, unlit_mips: Sequence[Array],
-                       light_dir=None) -> Array:
+                       light_dir=None, mesh=None) -> Array:
     """Dense light-transmittance volume at full grid resolution
     (mode="volume"). Exact shadow_cone_value at every voxel center.
 
@@ -106,6 +124,10 @@ def build_light_volume(cfg: VCTConfig, unlit_mips: Sequence[Array],
     compile-time constants); defaults to the config light.  A traced
     light direction (e.g. when optimizing it) requires shadow mode
     "percone" instead.
+
+    With cfg.sharding.brick_parallel > 1 and a mesh, the march runs
+    brick-sharded along x over the model axis (parallel/brick.py); the
+    returned volume's x axis is sharded P(model).
     """
     if light_dir is None:
         light_dir = cfg.light.direction
@@ -117,6 +139,13 @@ def build_light_volume(cfg: VCTConfig, unlit_mips: Sequence[Array],
             "direction; use shadow mode 'percone' to differentiate or "
             "vary the light direction at runtime") from e
     d = d / np.linalg.norm(d)
+    if _use_brick_sharding(cfg, mesh):
+        from vct_tpu.parallel import brick
+        return brick.sharded_directional_march(
+            unlit_mips, d, shadow_schedule(cfg), cfg.grid.world_size,
+            mesh, axis_name=cfg.sharding.model_axis,
+            field_dim=cfg.grid.dim, opacity_gain=cfg.shadow.opacity_gain,
+            transmittance_only=True)
     return D.directional_march(
         unlit_mips, d, shadow_schedule(cfg),
         cfg.grid.world_size, field_dim=cfg.grid.dim,
@@ -162,16 +191,28 @@ def indirect_diffuse_percone(
 
 
 def build_cone_field(cfg: VCTConfig, mips: Sequence[Array],
-                     schedule: M.MarchSchedule) -> Array:
+                     schedule: M.MarchSchedule, mesh=None) -> Array:
     """Cone-gather fields for the direction basis, stacked channelwise:
-    (df, df, df, B*4) with per-direction (rgb, occlusion)."""
+    (df, df, df, B*4) with per-direction (rgb, occlusion).
+
+    With cfg.sharding.brick_parallel > 1 and a mesh, the marches run
+    brick-sharded along x (parallel/brick.py); the field's x axis comes
+    back sharded P(model)."""
     basis = D.direction_basis(cfg.cones.field_basis)
     df = field_dim(cfg)
-    fields = D.directional_march_multi(
-        mips, basis, schedule, cfg.grid.world_size, field_dim=df,
-        max_alpha=cfg.cones.max_alpha,
-        occlusion_falloff=cfg.cones.occlusion_falloff,
-        compute_dtype=_march_compute_dtype(cfg))   # (B, df,df,df, 4)
+    if _use_brick_sharding(cfg, mesh):
+        from vct_tpu.parallel import brick
+        fields = brick.sharded_directional_march_multi(
+            mips, basis, schedule, cfg.grid.world_size, mesh,
+            axis_name=cfg.sharding.model_axis, field_dim=df,
+            max_alpha=cfg.cones.max_alpha,
+            occlusion_falloff=cfg.cones.occlusion_falloff)
+    else:
+        fields = D.directional_march_multi(
+            mips, basis, schedule, cfg.grid.world_size, field_dim=df,
+            max_alpha=cfg.cones.max_alpha,
+            occlusion_falloff=cfg.cones.occlusion_falloff,
+            compute_dtype=_march_compute_dtype(cfg))   # (B, df,df,df, 4)
     return jnp.moveaxis(fields, 0, -2).reshape(df, df, df, -1)
 
 
