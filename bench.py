@@ -49,7 +49,26 @@ HBM_BYTES_PER_S = {
     "TPU v5": 2765e9,       # v5p
     "TPU v6 lite": 1640e9,  # v6e / Trillium
 }
+# peak dense bf16 MXU FLOPs/s per chip
+MXU_FLOPS_PER_S = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5": 459e12,       # v5p
+    "TPU v6 lite": 918e12,  # v6e / Trillium
+}
 BYTES_PER_SAMPLE = 16 * 4 * 4   # quadrilinear: 16 taps x RGBA x f32
+
+
+def cost_analysis(compiled):
+    """XLA's own (flops, bytes accessed) estimate for a compiled fn."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+    except Exception as e:  # cost model unavailable on some backends
+        log(f"cost_analysis unavailable: {e}")
+        return 0.0, 0.0
 
 
 def count_dense_samples(cfg) -> int:
@@ -107,38 +126,80 @@ def main():
     sync(voxels.radiance_mips[0])
     log(f"voxel build compile+run: {time.time()-t0:.1f}s")
 
-    n_rep = int(os.environ.get("VCT_BENCH_REPS", "2"))
-    t0 = time.time()
+    n_rep = int(os.environ.get("VCT_BENCH_REPS", "5"))
+    build_ts = []
     for _ in range(n_rep):
+        t0 = time.time()
         v = build(cfg, samples, mats)
         sync(v.radiance_mips[0])   # sync per rep; don't retain N VoxelStates
         del v
-    build_dt = (time.time() - t0) / n_rep
+        build_ts.append(time.time() - t0)
+    build_dt = float(np.median(build_ts))
     dense_samples = count_dense_samples(cfg)
     sps = dense_samples / build_dt
-    log(f"voxel build steady: {build_dt*1e3:.1f} ms; dense march samples: "
-        f"{dense_samples/1e6:.1f}M -> {sps:.3e} samples/s")
+    log(f"voxel build steady: median {build_dt*1e3:.1f} ms over {n_rep} "
+        f"(min {min(build_ts)*1e3:.1f}, max {max(build_ts)*1e3:.1f}); "
+        f"dense march samples: {dense_samples/1e6:.1f}M -> {sps:.3e} samples/s")
 
-    # --- per-frame camera pass ---
+    # measured roofline for the dominant dense-march stage (the cone-gather
+    # field build) from XLA's own cost model: achieved HBM GB/s + MXU util
+    from vct_tpu.render import shading
+    march_fn = jax.jit(
+        lambda mips: shading.build_cone_field(cfg, mips, "diffuse"),
+        static_argnums=())
+    lowered = march_fn.lower(voxels.radiance_mips)
+    compiled = lowered.compile()
+    m_flops, m_bytes = cost_analysis(compiled)
+    t0 = time.time()
+    f = march_fn(voxels.radiance_mips)
+    sync(f)
+    march_ts = []
+    for _ in range(n_rep):
+        t0 = time.time()
+        f = march_fn(voxels.radiance_mips)
+        sync(f)
+        march_ts.append(time.time() - t0)
+    march_dt = float(np.median(march_ts))
+    bw = HBM_BYTES_PER_S.get(kind, 819e9)
+    peak_flops = MXU_FLOPS_PER_S.get(kind, 197e12)
+    march_gbps = m_bytes / march_dt / 1e9 if m_bytes else 0.0
+    march_mxu = m_flops / march_dt / peak_flops if m_flops else 0.0
+    log(f"dense march (diffuse field): {march_dt*1e3:.1f} ms, "
+        f"XLA cost model {m_flops/1e12:.2f} TF / {m_bytes/1e9:.2f} GB -> "
+        f"achieved {march_gbps:.0f} GB/s ({march_gbps*1e9/bw:.2f} of peak), "
+        f"MXU util {march_mxu:.2f}")
+
+    # --- per-frame camera pass (fast Pallas path when supported) ---
     origins, dirs = cameralib.primary_rays(camera, width, height)
     cam_pos = jnp.asarray(camera.position, jnp.float32)
-    chunk = int(os.environ.get("VCT_BENCH_CHUNK", "65536"))
-    frame = jax.jit(lambda ds_, v, m, o, d, cp: R.render_rays(
-        cfg, ds_, v, m, o, d, cp, chunk_size=chunk))
+    fast = R.use_fast_path(cfg)
+    if fast:
+        from vct_tpu.render import fast as F
+        tables = F.build_frame_tables(cfg, voxels, mats)
+        sync(tables.field_mips[0])
+        frame = lambda: F.render_frame(cfg, ds, tables, mats, origins, dirs,
+                                       cam_pos)
+    else:
+        chunk = int(os.environ.get("VCT_BENCH_CHUNK", "65536"))
+        jf = jax.jit(lambda ds_, v, m, o, d, cp: R.render_rays(
+            cfg, ds_, v, m, o, d, cp, chunk_size=chunk))
+        frame = lambda: jf(ds, voxels, mats, origins, dirs, cam_pos)
     t0 = time.time()
-    img = frame(ds, voxels, mats, origins, dirs, cam_pos)
+    img = frame()
     sync(img)
     log(f"first frame compile+run: {time.time()-t0:.1f}s "
-        f"mean={float(jnp.mean(img)):.4f}")
-    t0 = time.time()
-    for _ in range(n_rep):
-        img = frame(ds, voxels, mats, origins, dirs, cam_pos)
+        f"mean={float(jnp.mean(img)):.4f} fast_path={fast}")
+    frame_ts = []
+    for _ in range(max(n_rep, 5)):
+        t0 = time.time()
+        img = frame()
         sync(img)
-    frame_dt = (time.time() - t0) / n_rep
-    log(f"steady frame: {frame_dt*1e3:.1f} ms "
+        frame_ts.append(time.time() - t0)
+    frame_dt = float(np.median(frame_ts))
+    log(f"steady frame: median {frame_dt*1e3:.1f} ms "
+        f"(min {min(frame_ts)*1e3:.1f}) "
         f"({width}x{height}, {1.0/frame_dt:.2f} fps)")
 
-    bw = HBM_BYTES_PER_S.get(kind, 819e9)
     sol = bw / BYTES_PER_SAMPLE
     log(f"HBM no-reuse SoL: {sol:.3e} samples/s; fraction: {sps/sol:.3f}")
 
@@ -147,6 +208,13 @@ def main():
         "value": sps,
         "unit": "samples/s",
         "vs_baseline": sps / sol,
+        "frame_ms_1080p": frame_dt * 1e3,
+        "fps_1080p": 1.0 / frame_dt,
+        "fast_path": fast,
+        "march_achieved_gbps": march_gbps,
+        "peak_gbps": bw / 1e9,
+        "march_mxu_util": march_mxu,
+        "build_ms": build_dt * 1e3,
     }))
 
 

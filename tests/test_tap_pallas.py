@@ -1,5 +1,8 @@
 """Tiled tap kernel (ops/tap_pallas.py) vs the XLA shading taps:
-shadow_volume_tap + indirect_diffuse_field + raw specular field tap."""
+shadow_volume_tap + indirect_diffuse_field + raw specular field tap.
+
+The kernel stores volumes in bf16 and runs the tap matmuls in bf16, so
+tolerances are ~5e-3 (shadow, scalar in [0,1]) and ~2e-2 (field taps)."""
 
 import dataclasses
 
@@ -30,13 +33,14 @@ def setup():
     voxel = WS / LDIM
 
     light = jnp.asarray(rng.rand(LDIM, LDIM, LDIM, 1), jnp.float32)
-    light_mips = tuple(
+    light_f32 = tuple(
         m[..., 0] for m in G.build_mips(light, num_levels=2))   # 32,16
+    light_mips = TP.pack_light_mips(light_f32)
     cfield = NB * 4 * 2
     field = jnp.asarray(
         rng.rand(FDIM, FDIM, FDIM, cfield), jnp.float32)
     field_f32 = tuple(G.build_mips(field, num_levels=2))        # 16,8
-    field_mips = tuple(m.astype(jnp.bfloat16) for m in field_f32)
+    field_mips = TP.pack_field_mips(field_f32)
 
     # synthetic tile-coherent G-buffer: each tile's points cluster in a
     # small ball so level-0 bricks fit
@@ -58,7 +62,8 @@ def setup():
     gbuf[:, 19] = 1.0
     gbuf = jnp.asarray(gbuf)
 
-    return cfg, voxel, light_mips, field_mips, field_f32, gbuf, ntiles
+    return cfg, voxel, light_mips, field_mips, light_f32, field_f32, \
+        gbuf, ntiles
 
 
 def _scalars(cfg, voxel, gbuf, ntiles, light_dims, field_dims):
@@ -68,10 +73,10 @@ def _scalars(cfg, voxel, gbuf, ntiles, light_dims, field_dims):
     hit = gbuf[:, 19].reshape(ntiles, TP.TILE) > 0.5
     p_l = pos + geo * (voxel * cfg.shadow.normal_offset)
     p_f = pos + nrm * voxel
-    llev, lorg = TP.select_bricks(G.world_to_uvw(p_l, WS), hit, light_dims,
-                                  TP.BRICK_L)
-    flev, forg = TP.select_bricks(G.world_to_uvw(p_f, WS), hit, field_dims,
-                                  TP.BRICK_F)
+    llev, lorg = TP.select_light_bricks(G.world_to_uvw(p_l, WS), hit,
+                                        light_dims)
+    flev, forg = TP.select_field_bricks(G.world_to_uvw(p_f, WS), hit,
+                                        field_dims)
     return jnp.concatenate(
         [llev[:, None], lorg, flev[:, None], forg], axis=1).astype(jnp.int32)
 
@@ -94,18 +99,19 @@ def _run(cfg, voxel, light_mips, field_mips, gbuf, ntiles):
 
 class TestTapKernel:
     def test_shadow_matches_volume_tap(self, setup):
-        cfg, voxel, light_mips, field_mips, _, gbuf, ntiles = setup
-        out = _run(cfg, voxel, light_mips, field_mips, gbuf, ntiles)
-        lv = light_mips[0][..., None]
+        cfg, voxel, light_mips, field_mips, light_f32, _, gbuf, nt = setup
+        out = _run(cfg, voxel, light_mips, field_mips, gbuf, nt)
+        lv = light_f32[0][..., None]
         ref = shading.shadow_volume_tap(cfg, lv, gbuf[:, 0:3], gbuf[:, 6:9])
         np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(ref),
-                                   rtol=1e-4, atol=1e-4)
+                                   rtol=5e-3, atol=5e-3)
 
     def test_diffuse_matches_field_mode(self, setup):
-        cfg, voxel, light_mips, field_mips, field_f32, gbuf, ntiles = setup
-        out = _run(cfg, voxel, light_mips, field_mips, gbuf, ntiles)
+        cfg, voxel, light_mips, field_mips, _, field_f32, gbuf, nt = setup
+        out = _run(cfg, voxel, light_mips, field_mips, gbuf, nt)
         # XLA reference on the same bf16-quantized level-0 field
-        dfield = field_mips[0][..., :4 * NB].astype(jnp.float32)
+        dfield = field_f32[0].astype(jnp.bfloat16).astype(
+            jnp.float32)[..., :4 * NB]
         pos, nrm = gbuf[:, 0:3], gbuf[:, 3:6]
         cone_dirs = shading.pixel_cone_dirs(
             cfg, nrm, gbuf[:, 9:12], gbuf[:, 12:15])
@@ -120,12 +126,13 @@ class TestTapKernel:
                                    rtol=2e-2, atol=2e-2)
 
     def test_spec_tap_matches_trilinear(self, setup):
-        cfg, voxel, light_mips, field_mips, field_f32, gbuf, ntiles = setup
-        out = _run(cfg, voxel, light_mips, field_mips, gbuf, ntiles)
+        cfg, voxel, light_mips, field_mips, _, field_f32, gbuf, nt = setup
+        out = _run(cfg, voxel, light_mips, field_mips, gbuf, nt)
         pos, nrm = gbuf[:, 0:3], gbuf[:, 3:6]
         p = pos + nrm * voxel
         uvw = G.world_to_uvw(p, WS)
-        sfield = field_mips[0][..., 4 * NB:].astype(jnp.float32)
+        sfield = field_f32[0].astype(jnp.bfloat16).astype(
+            jnp.float32)[..., 4 * NB:]
         ref = G.trilinear_sample(sfield, uvw)
         np.testing.assert_allclose(np.asarray(out[:, 8:]),
                                    np.asarray(ref),
@@ -134,7 +141,7 @@ class TestTapKernel:
     def test_coarse_level_fallback(self, setup):
         """A tile whose AABB exceeds the finest brick uses a coarser level;
         the kernel then matches trilinear on that level."""
-        cfg, voxel, light_mips, field_mips, _, gbuf0, _ = setup
+        cfg, voxel, light_mips, field_mips, light_f32, _, gbuf0, _ = setup
         rng = np.random.RandomState(3)
         n = TP.TILE
         pos = (rng.rand(n, 3) - 0.5) * WS * 0.8       # spans most of the grid
@@ -148,7 +155,38 @@ class TestTapKernel:
                         tuple(m.shape[0] for m in field_mips))
         llev = int(scal[0, 0])
         assert llev > 0, "expected a coarser light level for a huge AABB"
-        lv = light_mips[llev][..., None]
+        lv = light_f32[llev][..., None]
         ref = shading.shadow_volume_tap(cfg, lv, gbuf[:, 0:3], gbuf[:, 6:9])
         np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(ref),
-                                   rtol=1e-4, atol=1e-4)
+                                   rtol=5e-3, atol=5e-3)
+    def test_select_covers_bricks(self, setup):
+        """Selected (level, origin) windows genuinely contain every tap's
+        trilinear corner cells — the coverage contract of the aligned
+        brick geometry."""
+        cfg, voxel, light_mips, field_mips, _, _, gbuf, nt = setup
+        scal = np.asarray(_scalars(
+            cfg, voxel, gbuf, nt,
+            tuple(m.shape[0] for m in light_mips),
+            tuple(m.shape[0] for m in field_mips)))
+        pos = np.asarray(gbuf[:, 0:3]).reshape(nt, TP.TILE, 3)
+        geo = np.asarray(gbuf[:, 6:9]).reshape(nt, TP.TILE, 3)
+        nrm = np.asarray(gbuf[:, 3:6]).reshape(nt, TP.TILE, 3)
+        p_l = pos + geo * (voxel * cfg.shadow.normal_offset)
+        p_f = pos + nrm * voxel
+
+        def check(p, lvl, org, dim0, ext):
+            d = dim0 // (1 << lvl)
+            uvw = np.asarray(p) / WS + 0.5
+            t = np.clip(uvw * d - 0.5, 0.0, d - 1.0)
+            i0 = np.clip(np.floor(t), 0, d - 2)
+            lo, hi = i0.min(axis=0), (i0 + 1).max(axis=0)
+            for ax in range(3):
+                e = ext[ax] if ext[ax] else d
+                assert lo[ax] >= org[ax] and hi[ax] < org[ax] + e, \
+                    (ax, lo[ax], hi[ax], org[ax], e)
+
+        for ti in range(nt):
+            check(p_l[ti], scal[ti, 0], scal[ti, 1:4],
+                  light_mips[0].shape[0], (TP.BRICK_L, TP.LBY, None))
+            check(p_f[ti], scal[ti, 4], scal[ti, 5:8],
+                  field_mips[0].shape[0], (TP.BRICK_F, TP.BRICK_F, TP.FBZ))

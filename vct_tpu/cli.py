@@ -125,10 +125,18 @@ def _prepare(args, cfg, timer):
     with timer.stage("build_voxel_state") as box:
         voxels = R.build_voxel_state_staged(cfg, samples, mats)
         box["result"] = voxels.radiance_mips[0]
-    return ds, mats, samples, voxels
+    tables = None
+    if R.use_fast_path(cfg):
+        from vct_tpu.render import fast as F
+        with timer.stage("frame_tables") as box:
+            tables = F.build_frame_tables(cfg, voxels, mats)
+            box["result"] = tables.field_mips[0]
+        log("camera pass: fast Pallas path (render/fast.py)")
+    return ds, mats, samples, voxels, tables
 
 
-def _render_frame(cfg, ds, voxels, mats, camera, timer, name="render"):
+def _render_frame(cfg, ds, voxels, mats, camera, timer, name="render",
+                  tables=None):
     import jax
     import jax.numpy as jnp
     from vct_tpu.core import camera as cameralib
@@ -138,8 +146,8 @@ def _render_frame(cfg, ds, voxels, mats, camera, timer, name="render"):
         camera, cfg.render.width, cfg.render.height)
     cam_pos = jnp.asarray(camera.position, jnp.float32)
     with timer.stage(name) as box:
-        img = R.render_rays(cfg, ds, voxels, mats, origins, dirs, cam_pos,
-                            chunk_size=16384)
+        img = R.render_camera_pass(cfg, ds, voxels, mats, origins, dirs,
+                                   cam_pos, frame_tables=tables)
         box["result"] = img
     return np.asarray(img)
 
@@ -152,8 +160,9 @@ def cmd_render(args):
     cfg = _build_cfg(args)
     timer = P.StageTimer(log=log)
     with P.perfetto_trace(args.trace_dir):
-        ds, mats, samples, voxels = _prepare(args, cfg, timer)
-        img = _render_frame(cfg, ds, voxels, mats, _camera(args), timer)
+        ds, mats, samples, voxels, tables = _prepare(args, cfg, timer)
+        img = _render_frame(cfg, ds, voxels, mats, _camera(args), timer,
+                            tables=tables)
     I.write_png(args.out, I.tonemap(img, gamma=args.gamma,
                                     exposure=args.exposure))
     log(timer.report())
@@ -171,7 +180,7 @@ def cmd_orbit(args):
     _setup_backend(args)
     cfg = _build_cfg(args)
     timer = P.StageTimer(log=log)
-    ds, mats, samples, voxels = _prepare(args, cfg, timer)
+    ds, mats, samples, voxels, tables = _prepare(args, cfg, timer)
     os.makedirs(args.out_dir, exist_ok=True)
     radius = float(np.linalg.norm(np.asarray(args.camera)))
     for i in range(args.frames):
@@ -181,7 +190,7 @@ def cmd_orbit(args):
         yaw = math.degrees(math.atan2(-math.cos(ang), -math.sin(ang)))
         cam = cameralib.Camera(position=pos, yaw=yaw, pitch=args.pitch)
         img = _render_frame(cfg, ds, voxels, mats, cam, timer,
-                            name=f"frame{i:03d}")
+                            name=f"frame{i:03d}", tables=tables)
         path = os.path.join(args.out_dir, f"frame_{i:03d}.png")
         I.write_png(path, I.tonemap(img, gamma=args.gamma,
                                     exposure=args.exposure))
@@ -218,7 +227,7 @@ def cmd_debug(args):
     _setup_backend(args)
     cfg = _build_cfg(args)
     timer = P.StageTimer(log=log)
-    ds, mats, samples, voxels = _prepare(args, cfg, timer)
+    ds, mats, samples, voxels, _tables = _prepare(args, cfg, timer)
     os.makedirs(args.out_dir, exist_ok=True)
 
     def dump(name, img):

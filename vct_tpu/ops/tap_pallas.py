@@ -6,15 +6,32 @@ rows/s regardless of row width (scripts/bench_gather.py) — 2.5 s/frame at
 1080p.  This kernel exploits IMAGE-TILE COHERENCE instead: the 256 pixels
 of a 16x16 tile hit nearby world positions, so per tile we
 
-  1. pick the finest mip level whose 8^3 brick covers the tile's tap-point
+  1. pick the finest mip level whose brick covers the tile's tap-point
      AABB (selected in an XLA prepass, shipped as prefetch scalars),
-  2. DMA that one brick from HBM (light: 2 KB, field: ~213 KB bf16),
+  2. DMA that one brick from HBM,
   3. evaluate every pixel's EXACT trilinear tap as a two-hot-weight matmul
-     on the MXU: W3 (256 px, 512 cells) @ brick (512 cells, C).
+     on the MXU.
+
+MOSAIC DMA CONSTRAINTS shape the brick geometry: a dynamic HBM slice must
+be tile-aligned in the last two (tiled) dims — offsets in the sublane dim
+must be multiples of the 16-element bf16 tile (asserted via
+pl.multiple_of; select_*_bricks genuinely aligns them), and the lane dim
+cannot be sliced at runtime at all.  Hence:
+
+  light volume, stored bf16 (D, max(D,32), D):
+    brick (16 x, 32 y, D z) — x origin free (leading dim), y origin
+    16-aligned (32-extent covers any 16-voxel window), z full extent.
+  fused cone field, stored bf16 (D, D, max(D,32), C):
+    brick (8 x, 8 y, 32 z, C) — x/y origins free, z origin 16-aligned
+    (32-extent covers any 8-voxel window), channels full extent.
+
+bf16 volume storage + bf16 tap matmuls: <=0.4% relative error on [0,1]
+transmittance/radiance — below the 8-bit output quantization and below
+the reference's GL fixed-point texture-filter fractions.
 
 Quadrilinear semantics vs core/grid.py: within the selected level the tap
-is exactly grid.trilinear_sample; tiles whose AABB spans more than a brick
-at level 0 sample a coarser level (the same footprint-driven lod selection
+is exactly grid.trilinear_sample; tiles whose AABB exceeds a brick at
+level 0 sample a coarser level (the same footprint-driven lod selection
 the cone march itself uses, fs:96-97) — tests bound the difference.
 
 The diffuse basis weighting (shading.indirect_diffuse_field's cone-weight x
@@ -22,8 +39,9 @@ spherical-basis contraction) runs in-kernel on the tapped values; the
 specular tap returns the raw per-basis vec4s so the XLA side can weight
 them with the bump-mapped reflection direction (renderer.shade_gbuffer).
 
-Coarsest mip level == brick size, so every tile fits SOME level by
-construction.
+Coarsest levels: light floor is 16 == brick x-extent and field floor is
+8 == brick x/y-extent, with the constrained axes zero-padded to the brick
+extent — so every tile fits SOME level by construction.
 """
 
 from __future__ import annotations
@@ -40,46 +58,115 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 TILE = 256        # pixels per image tile (16 x 16)
-BRICK_L = 16      # light-volume brick voxels per axis (16 KB f32 DMA)
-BRICK_F = 8       # field brick voxels per axis (~213 KB bf16 DMA at C=208)
-CELLS_F = BRICK_F ** 3
+BRICK_L = 16      # light brick x-extent == coarsest light mip dim
+LBY = 32          # light brick y-extent (16-aligned origin)
+BRICK_F = 8       # field brick x/y-extent == coarsest field mip dim
+FBZ = 32          # field brick z-extent (16-aligned origin)
+CELLS_F = BRICK_F * BRICK_F * FBZ
+ALIGN = 16        # sublane tile for bf16 — aligned-origin granularity
+
+
+# ---------------------------------------------------------------------------
+# table packing: pad the constrained axes so aligned bricks always fit
+# ---------------------------------------------------------------------------
+
+def pack_light_mips(mips: Sequence[Array]) -> Tuple[Array, ...]:
+    """(D, D, D) volumes -> bf16, y zero-padded to >= LBY."""
+    out = []
+    for m in mips:
+        d = m.shape[1]
+        if d < LBY:
+            m = jnp.pad(m, ((0, 0), (0, LBY - d), (0, 0)))
+        out.append(m.astype(jnp.bfloat16))
+    return tuple(out)
+
+
+def pack_field_mips(mips: Sequence[Array]) -> Tuple[Array, ...]:
+    """(D, D, D, C) fields -> bf16, z zero-padded to >= FBZ."""
+    out = []
+    for m in mips:
+        d = m.shape[2]
+        if d < FBZ:
+            m = jnp.pad(m, ((0, 0), (0, 0), (0, FBZ - d), (0, 0)))
+        out.append(m.astype(jnp.bfloat16))
+    return tuple(out)
 
 
 # ---------------------------------------------------------------------------
 # XLA prepass: per-tile level + brick-origin selection
 # ---------------------------------------------------------------------------
 
-def select_bricks(uvw: Array, valid: Array, dims: Sequence[int],
-                  brick: int) -> Tuple[Array, Array]:
-    """Per-tile mip level + brick origin for tap points.
-
-    uvw: (ntiles, TILE, 3) in [0,1]; valid: (ntiles, TILE) bool.
-    dims: per-level grid dims, finest first; dims[-1] must equal brick so
-    the coarsest level always fits.
-    Returns (level (ntiles,) int32, origin (ntiles, 3) int32).
-    """
-    assert dims[-1] == brick, dims
+def _tap_bounds(uvw: Array, valid: Array, d: int):
+    """Per-tile [floor(lo), floor(hi)] cell bounds at level dim d."""
     big = jnp.float32(3e38)
-    fits = []
-    origins = []
+    t = jnp.clip(uvw * d - 0.5, 0.0, d - 1.0)          # (ntiles, TILE, 3)
+    lo = jnp.floor(jnp.min(jnp.where(valid[..., None], t, big), axis=1))
+    hi = jnp.floor(jnp.max(jnp.where(valid[..., None], t, -big), axis=1))
+    return lo, hi
+
+
+def _select(uvw: Array, valid: Array, dims: Sequence[int],
+            thresh: Sequence[int], origin_fn) -> Tuple[Array, Array]:
+    """Shared level selection: finest level whose per-axis footprint
+    (hi - lo, in cells) is within `thresh` (None = axis always fits);
+    the coarsest level force-fits (its brick covers the whole mip)."""
+    fits, origins = [], []
     for d in dims:
-        t = jnp.clip(uvw * d - 0.5, 0.0, d - 1.0)      # (ntiles, TILE, 3)
-        tlo = jnp.min(jnp.where(valid[..., None], t, big), axis=1)
-        thi = jnp.max(jnp.where(valid[..., None], t, -big), axis=1)
-        lo = jnp.floor(tlo)
-        hi = jnp.floor(thi)
-        fit = jnp.all(hi - lo <= brick - 2, axis=-1)   # room for the +1 corner
-        origins.append(jnp.clip(lo, 0, d - brick).astype(jnp.int32))
-        fits.append(fit)
-    fits = jnp.stack(fits, axis=1)                      # (ntiles, nlev)
-    fits = fits.at[:, -1].set(True)                     # coarsest always fits
-    level = jnp.argmax(fits, axis=1).astype(jnp.int32)  # first fitting level
+        lo, hi = _tap_bounds(uvw, valid, d)
+        ok = jnp.ones(lo.shape[:-1], bool)
+        for ax, th in enumerate(thresh):
+            if th is not None:
+                ok &= (hi[..., ax] - lo[..., ax]) <= th
+        fits.append(ok)
+        origins.append(origin_fn(lo, d))
+    fits = jnp.stack(fits, axis=1)
+    fits = fits.at[:, -1].set(True)
+    level = jnp.argmax(fits, axis=1).astype(jnp.int32)
     origin = jnp.take_along_axis(
         jnp.stack(origins, axis=1), level[:, None, None], axis=1)[:, 0]
     any_valid = jnp.any(valid, axis=1)
     level = jnp.where(any_valid, level, len(dims) - 1)
     origin = jnp.where(any_valid[:, None], origin, 0)
     return level, origin
+
+
+def _aligned(lo_ax: Array, d: int, extent: int) -> Array:
+    """16-aligned origin whose `extent` window covers [lo, lo+window)."""
+    b = jnp.floor(lo_ax / ALIGN) * ALIGN
+    return jnp.clip(b, 0, max(d, extent) - extent)
+
+
+def select_light_bricks(uvw: Array, valid: Array,
+                        dims: Sequence[int]) -> Tuple[Array, Array]:
+    """Light-volume brick: (x free, y 16-aligned/32-wide, z full).
+    Fits when the x/y footprint <= BRICK_L - 2; z always fits."""
+    assert dims[-1] == BRICK_L, dims
+
+    def origin(lo, d):
+        ox = jnp.clip(lo[..., 0], 0, d - BRICK_L)
+        oy = _aligned(lo[..., 1], d, LBY)
+        oz = jnp.zeros_like(ox)
+        return jnp.stack([ox, oy, oz], axis=-1).astype(jnp.int32)
+
+    return _select(uvw, valid, dims,
+                   (BRICK_L - 2, BRICK_L - 2, None), origin)
+
+
+def select_field_bricks(uvw: Array, valid: Array,
+                        dims: Sequence[int]) -> Tuple[Array, Array]:
+    """Field brick: (x free, y free, z 16-aligned/32-wide, C full).
+    Fits when the x/y footprint <= BRICK_F - 2 and the z footprint <= 16
+    (a 16-aligned 32-extent window covers any 16-cell footprint + corner)."""
+    assert dims[-1] == BRICK_F, dims
+
+    def origin(lo, d):
+        ox = jnp.clip(lo[..., 0], 0, d - BRICK_F)
+        oy = jnp.clip(lo[..., 1], 0, d - BRICK_F)
+        oz = _aligned(lo[..., 2], d, FBZ)
+        return jnp.stack([ox, oy, oz], axis=-1).astype(jnp.int32)
+
+    return _select(uvw, valid, dims,
+                   (BRICK_F - 2, BRICK_F - 2, FBZ - ALIGN), origin)
 
 
 # ---------------------------------------------------------------------------
@@ -102,26 +189,29 @@ def _axis_twohot(p_ax: Array, origin_ax, dim, world_size: float,
 
 
 def _w3(wx: Array, wy: Array, wz: Array, ex, ey, ez) -> Array:
-    """(TILE, BRICK_F)^3 two-hots -> (TILE, CELLS_F) trilinear weights,
-    cell index j = ((x * BRICK_F) + y) * BRICK_F + z.  ex/ey/ez are the
-    static (BRICK_F, CELLS_F) 0/1 expansion matrices."""
+    """Axis two-hots -> (TILE, CELLS_F) trilinear weights, cell index
+    j = ((x * BRICK_F) + y) * FBZ + z.  ex/ey/ez are the static
+    (axis_extent, CELLS_F) 0/1 expansion matrices."""
     def exp(w, e):
         return jax.lax.dot_general(
-            w, e, (((1,), (0,)), ((), ())),
+            w.astype(jnp.bfloat16), e.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     return exp(wx, ex) * exp(wy, ey) * exp(wz, ez)
 
 
 def expansion_matrices() -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Static (BRICK_F, CELLS_F) matrices: E[a, j] = 1 iff coord(j) == a."""
+    """Static 0/1 matrices E[a, j] = 1 iff axis-coord(j) == a, for the
+    (BRICK_F, BRICK_F, FBZ) brick flattened x-major."""
     j = np.arange(CELLS_F)
-    jx = j // (BRICK_F * BRICK_F)
-    jy = (j // BRICK_F) % BRICK_F
-    jz = j % BRICK_F
-    a = np.arange(BRICK_F)[:, None]
-    return ((jx[None] == a).astype(np.float32),
-            (jy[None] == a).astype(np.float32),
-            (jz[None] == a).astype(np.float32))
+    jx = j // (BRICK_F * FBZ)
+    jy = (j // FBZ) % BRICK_F
+    jz = j % FBZ
+    ax = np.arange(BRICK_F)[:, None]
+    az = np.arange(FBZ)[:, None]
+    return ((jx[None] == ax).astype(np.float32),
+            (jy[None] == ax).astype(np.float32),
+            (jz[None] == az).astype(np.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -130,10 +220,10 @@ def expansion_matrices() -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 def _tap_kernel(scal_ref,                 # (ntiles, 8) int32 prefetch
                 gbuf_ref,                 # (TILE, 24) f32
-                foldx_ref,                # (BRICK_L^2, BRICK_L) static fold
+                foldx_ref,                # (BRICK_L*LBY, BRICK_L) static fold
                 basis_ref,                # (3, nb) basis directions^T
                 sel_ref,                  # (4nb, 4) static fold
-                ex_ref, ey_ref, ez_ref,   # (BRICK_F, CELLS_F) expansions
+                ex_ref, ey_ref, ez_ref,   # expansion matrices
                 ed_ref,                   # (nb, 4nb) diffuse-weight expansion
                 *refs,
                 nl: int, nf: int, cfield: int, world_size: float,
@@ -144,38 +234,45 @@ def _tap_kernel(scal_ref,                 # (ntiles, 8) int32 prefetch
     light_refs = refs[:nl]
     field_refs = refs[nl:nl + nf]
     out_ref = refs[nl + nf]
-    lbuf = refs[nl + nf + 1]              # (2, BRICK_L^3) f32
-    fbuf = refs[nl + nf + 2]              # (2, BRICK_F^3, C) bf16
+    lbuf = refs[nl + nf + 1]              # (2, BRICK_L, LBY, LZ0) bf16
+    fbuf = refs[nl + nf + 2]              # (2, BRICK_F, BRICK_F, FBZ, C) bf16
     lsem = refs[nl + nf + 3]
     fsem = refs[nl + nf + 4]
+    lz0 = light_dims[0]
 
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
     def light_dma(tile, slot):
         lvl = scal_ref[tile, 0]
-        ox, oy, oz = scal_ref[tile, 1], scal_ref[tile, 2], scal_ref[tile, 3]
+        ox = scal_ref[tile, 1]
+        oy = pl.multiple_of(scal_ref[tile, 2], ALIGN)
         for li, ref in enumerate(light_refs):
+            dl = light_dims[li]
+
             @pl.when(lvl == li)
             def _():
                 pltpu.make_async_copy(
-                    ref.at[pl.ds(ox, BRICK_L), pl.ds(oy, BRICK_L),
-                           pl.ds(oz, BRICK_L)],
-                    lbuf.at[slot], lsem.at[slot]).start()
+                    ref.at[pl.ds(ox, BRICK_L), pl.ds(oy, LBY), :],
+                    lbuf.at[slot, :, :, 0:dl], lsem.at[slot]).start()
 
     def field_dma(tile, slot):
         lvl = scal_ref[tile, 4]
-        ox, oy, oz = scal_ref[tile, 5], scal_ref[tile, 6], scal_ref[tile, 7]
+        ox, oy = scal_ref[tile, 5], scal_ref[tile, 6]
+        oz = pl.multiple_of(scal_ref[tile, 7], ALIGN)
         for fi, ref in enumerate(field_refs):
             @pl.when(lvl == fi)
             def _():
                 pltpu.make_async_copy(
                     ref.at[pl.ds(ox, BRICK_F), pl.ds(oy, BRICK_F),
-                           pl.ds(oz, BRICK_F), :],
+                           pl.ds(oz, FBZ), :],
                     fbuf.at[slot], fsem.at[slot]).start()
 
     @pl.when(i == 0)
     def _():
+        # coarse levels only fill z < dl; zero once so stale lanes (which
+        # could be NaN garbage at startup) meet zero weights as 0 * finite
+        lbuf[...] = jnp.zeros(lbuf.shape, lbuf.dtype)
         light_dma(0, 0)
         field_dma(0, 0)
 
@@ -202,14 +299,14 @@ def _tap_kernel(scal_ref,                 # (ntiles, 8) int32 prefetch
     lwx = _axis_twohot(p_light[:, 0:1], scal_ref[i, 1].astype(jnp.float32),
                        ldim, world_size, BRICK_L)
     lwy = _axis_twohot(p_light[:, 1:2], scal_ref[i, 2].astype(jnp.float32),
-                       ldim, world_size, BRICK_L)
-    lwz = _axis_twohot(p_light[:, 2:3], scal_ref[i, 3].astype(jnp.float32),
-                       ldim, world_size, BRICK_L)
-    # separable contraction: (x,y,z) brick -> (xy, z) 2-D (leading-dim
+                       ldim, world_size, LBY)
+    lwz = _axis_twohot(p_light[:, 2:3], jnp.float32(0.0),
+                       ldim, world_size, lz0)
+    # separable contraction: (x, y, z) brick -> (xy, z) 2-D (leading-dim
     # reshape, lane dim intact), z via MXU, y via static fold matrix
-    b2 = lbuf[slot].reshape(BRICK_L * BRICK_L, BRICK_L)  # (xy, z)
+    b2 = lbuf[slot].reshape(BRICK_L * LBY, lz0)          # (512, z) bf16
     tz = jax.lax.dot_general(
-        lwz, b2, (((1,), (1,)), ((), ())),
+        lwz.astype(jnp.bfloat16), b2, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)              # (TILE, xy)
     txy = tz * jnp.tile(lwy, (1, BRICK_L))               # weight by wy[y]
     tx = jax.lax.dot_general(
@@ -226,7 +323,7 @@ def _tap_kernel(scal_ref,                 # (ntiles, 8) int32 prefetch
     fwy = _axis_twohot(p_field[:, 1:2], scal_ref[i, 6].astype(jnp.float32),
                        fdim, world_size, BRICK_F)
     fwz = _axis_twohot(p_field[:, 2:3], scal_ref[i, 7].astype(jnp.float32),
-                       fdim, world_size, BRICK_F)
+                       fdim, world_size, FBZ)
     w3f = _w3(fwx, fwy, fwz, ex_ref[...], ey_ref[...],
               ez_ref[...]).astype(jnp.bfloat16)
     fb = fbuf[slot].reshape(CELLS_F, cfield)
@@ -278,13 +375,14 @@ def _tap_kernel(scal_ref,                 # (ntiles, 8) int32 prefetch
                      "interpret", "cones_static"))
 def tap_tiles(gbuf: Array,                 # (ntiles*TILE, 24) tile-major
               scalars: Array,              # (ntiles, 8) int32
-              light_mips: Tuple[Array, ...],   # each (D,D,D) f32
-              field_mips: Tuple[Array, ...],   # each (D,D,D,C) bf16
+              light_mips: Tuple[Array, ...],   # each (D, max(D,LBY), D) bf16
+              field_mips: Tuple[Array, ...],   # each (D,D,max(D,FBZ),C) bf16
               *, world_size: float, voxel: float, shadow_offset: float,
               power_diffuse: int, cones_static, interpret: bool = False
               ) -> Array:
     """Per-pixel (shadow, diffuse rgba, raw specular per-basis vec4s).
 
+    light_mips/field_mips must come from pack_light_mips/pack_field_mips;
     cones_static: (cone_dirs, cone_weights, basis) as nested tuples (hashable
     static arg); returns (ntiles*TILE, 8 + [4*nb]) f32.
     """
@@ -301,10 +399,11 @@ def tap_tiles(gbuf: Array,                 # (ntiles*TILE, 24) tile-major
     nout = 8 + (cfield - 4 * nb if has_spec else 0)
     light_dims = tuple(m.shape[0] for m in light_mips)
     field_dims = tuple(m.shape[0] for m in field_mips)
+    lz0 = light_dims[0]
 
-    foldx = np.zeros((BRICK_L * BRICK_L, BRICK_L), np.float32)
+    foldx = np.zeros((BRICK_L * LBY, BRICK_L), np.float32)
     for xx in range(BRICK_L):
-        foldx[xx * BRICK_L:(xx + 1) * BRICK_L, xx] = 1.0
+        foldx[xx * LBY:(xx + 1) * LBY, xx] = 1.0
     sel = np.zeros((4 * nb, 4), np.float32)
     for b in range(nb):
         sel[b * 4:(b + 1) * 4] = np.eye(4, dtype=np.float32)
@@ -327,7 +426,7 @@ def tap_tiles(gbuf: Array,                 # (ntiles*TILE, 24) tile-major
         in_specs=(
             [pl.BlockSpec((TILE, gbuf.shape[1]), lambda i, s: (i, 0),
                           memory_space=pltpu.VMEM),
-             pl.BlockSpec((BRICK_L * BRICK_L, BRICK_L), _whole,
+             pl.BlockSpec((BRICK_L * LBY, BRICK_L), _whole,
                           memory_space=pltpu.VMEM),
              pl.BlockSpec((3, nb), _whole, memory_space=pltpu.VMEM),
              pl.BlockSpec((4 * nb, 4), _whole, memory_space=pltpu.VMEM),
@@ -335,7 +434,7 @@ def tap_tiles(gbuf: Array,                 # (ntiles*TILE, 24) tile-major
                           memory_space=pltpu.VMEM),
              pl.BlockSpec((BRICK_F, CELLS_F), _whole,
                           memory_space=pltpu.VMEM),
-             pl.BlockSpec((BRICK_F, CELLS_F), _whole,
+             pl.BlockSpec((FBZ, CELLS_F), _whole,
                           memory_space=pltpu.VMEM),
              pl.BlockSpec((nb, 4 * nb), _whole, memory_space=pltpu.VMEM)]
             + [pl.BlockSpec(memory_space=pl.ANY)] * len(light_mips)
@@ -344,8 +443,8 @@ def tap_tiles(gbuf: Array,                 # (ntiles*TILE, 24) tile-major
         out_specs=pl.BlockSpec((TILE, nout), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, BRICK_L, BRICK_L, BRICK_L), jnp.float32),
-            pltpu.VMEM((2, BRICK_F, BRICK_F, BRICK_F, cfield), jnp.bfloat16),
+            pltpu.VMEM((2, BRICK_L, LBY, lz0), jnp.bfloat16),
+            pltpu.VMEM((2, BRICK_F, BRICK_F, FBZ, cfield), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -54,8 +54,8 @@ TS = 16   # image tile side; TS*TS == tap_pallas.TILE
 class FrameTables:
     """Per-voxel-state tables the fast path samples from."""
 
-    light_mips: Tuple[Array, ...]        # each (D, D, D) f32, down to 8^3
-    field_mips: Tuple[Array, ...]        # each (D, D, D, C) bf16, down to 8^3
+    light_mips: Tuple[Array, ...]        # each (D, max(D,32), D) bf16
+    field_mips: Tuple[Array, ...]        # each (D, D, max(D,32), C) bf16
     packed_atlas: Optional[Array]        # (M, R, R, PACKED_CH) or None
 
 
@@ -81,14 +81,13 @@ def build_frame_tables(cfg: VCTConfig, voxels: VoxelState,
     Coarsest level equals the tap brick (8^3) so every tile fits some level.
     """
     assert supported(cfg), "fast path needs volume shadows + field cones"
-    light_mips = tuple(
-        m[..., 0] for m in _mips_to(voxels.light_volume, TP.BRICK_L))
+    light_mips = TP.pack_light_mips(
+        [m[..., 0] for m in _mips_to(voxels.light_volume, TP.BRICK_L)])
     fields = [voxels.diffuse_field]
     if voxels.specular_field is not None:
         fields.append(voxels.specular_field)
     fused = jnp.concatenate(fields, axis=-1)
-    field_mips = tuple(
-        m.astype(jnp.bfloat16) for m in _mips_to(fused, TP.BRICK_F))
+    field_mips = TP.pack_field_mips(_mips_to(fused, TP.BRICK_F))
     packed = TX.pack_atlas(mats.atlas) if mats.atlas is not None else None
     return FrameTables(light_mips=light_mips, field_mips=field_mips,
                        packed_atlas=packed)
@@ -160,10 +159,10 @@ def render_frame(cfg: VCTConfig,
     p_f = pos + nrm * voxel
     light_dims = tuple(m.shape[0] for m in tables.light_mips)
     field_dims = tuple(m.shape[0] for m in tables.field_mips)
-    llev, lorg = TP.select_bricks(
-        tiled(G.world_to_uvw(p_l, ws)), tiled(hit), light_dims, TP.BRICK_L)
-    flev, forg = TP.select_bricks(
-        tiled(G.world_to_uvw(p_f, ws)), tiled(hit), field_dims, TP.BRICK_F)
+    llev, lorg = TP.select_light_bricks(
+        tiled(G.world_to_uvw(p_l, ws)), tiled(hit), light_dims)
+    flev, forg = TP.select_field_bricks(
+        tiled(G.world_to_uvw(p_f, ws)), tiled(hit), field_dims)
     scal = jnp.concatenate(
         [llev[:, None], lorg, flev[:, None], forg], axis=1).astype(jnp.int32)
 

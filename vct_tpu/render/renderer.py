@@ -525,6 +525,44 @@ def render_rays(
     return rgb.reshape(-1, 3)[:n].reshape(shape + (3,))
 
 
+def use_fast_path(cfg: VCTConfig) -> bool:
+    """Should the camera pass run through render/fast.py (Pallas raycast +
+    tiled deferred-shading taps)? Requires the fast-path-supported config
+    subset, cfg.use_pallas, and a non-CPU backend (the Pallas kernels only
+    lower on TPU; the interpreter is for tests)."""
+    from vct_tpu.render import fast as F
+    return (cfg.use_pallas and F.supported(cfg)
+            and jax.default_backend() != "cpu")
+
+
+def render_camera_pass(
+    cfg: VCTConfig,
+    ds: DeviceScene,
+    voxels: VoxelState,
+    mats: MaterialTable,
+    origins: Array,
+    dirs: Array,
+    camera_position: Array,
+    light_dir: Optional[Array] = None,
+    frame_tables=None,
+    chunk_size: int = 16384,
+) -> Array:
+    """The per-frame camera pass, routed through the fast Pallas path when
+    the config supports it (see use_fast_path), else render_rays.
+
+    frame_tables: pass fast.build_frame_tables(cfg, voxels, mats) to amortize
+    the mip/atlas packing across frames (the orbit loop does); None builds
+    them inline."""
+    if use_fast_path(cfg):
+        from vct_tpu.render import fast as F
+        if frame_tables is None:
+            frame_tables = F.build_frame_tables(cfg, voxels, mats)
+        return F.render_frame(cfg, ds, frame_tables, mats, origins, dirs,
+                              camera_position, light_dir)
+    return render_rays(cfg, ds, voxels, mats, origins, dirs,
+                       camera_position, light_dir, chunk_size=chunk_size)
+
+
 def render_image(
     cfg: VCTConfig,
     scene: Scene,
@@ -538,6 +576,13 @@ def render_image(
     origins, dirs = cameralib.primary_rays(
         camera, cfg.render.width, cfg.render.height)
     cam_pos = jnp.asarray(camera.position, jnp.float32)
+
+    if use_fast_path(cfg):
+        voxels = jax.jit(build_voxel_state, static_argnums=0)(
+            cfg, samples, mats)
+        img = render_camera_pass(cfg, ds, voxels, mats, origins, dirs,
+                                 cam_pos)
+        return np.asarray(img)
 
     def pipeline(origins, dirs, cam_pos, samples, mats):
         voxels = build_voxel_state(cfg, samples, mats)
