@@ -145,8 +145,8 @@ def main():
     # field build) from XLA's own cost model: achieved HBM GB/s + MXU util
     from vct_tpu.render import shading
     march_fn = jax.jit(
-        lambda mips: shading.build_cone_field(cfg, mips, "diffuse"),
-        static_argnums=())
+        lambda mips: shading.build_cone_field(
+            cfg, mips, shading.diffuse_schedule(cfg)))
     lowered = march_fn.lower(voxels.radiance_mips)
     compiled = lowered.compile()
     m_flops, m_bytes = cost_analysis(compiled)

@@ -92,7 +92,7 @@ def _run(cfg, voxel, light_mips, field_mips, gbuf, ntiles):
     )
     return TP.tap_tiles(
         gbuf, scal, light_mips, field_mips,
-        world_size=WS, voxel=voxel,
+        cfield=NB * 4 * 2, world_size=WS, voxel=voxel,
         shadow_offset=cfg.shadow.normal_offset,
         power_diffuse=8, cones_static=cones_static, interpret=True)
 

@@ -64,30 +64,47 @@ BRICK_F = 8       # field brick x/y-extent == coarsest field mip dim
 FBZ = 32          # field brick z-extent (16-aligned origin)
 CELLS_F = BRICK_F * BRICK_F * FBZ
 ALIGN = 16        # sublane tile for bf16 — aligned-origin granularity
+LANE = 128        # lane tile — DMA slices along the lane dim (and the
+                  # lane extents of DMA'd arrays) must be multiples of this
 
 
 # ---------------------------------------------------------------------------
 # table packing: pad the constrained axes so aligned bricks always fit
 # ---------------------------------------------------------------------------
 
+def _ceil_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
 def pack_light_mips(mips: Sequence[Array]) -> Tuple[Array, ...]:
-    """(D, D, D) volumes -> bf16, y zero-padded to >= LBY."""
+    """(D, D, D) volumes -> bf16; y zero-padded to >= LBY, z (the lane dim)
+    zero-padded to ONE common 128-multiple extent across all levels —
+    Mosaic rejects DMA slices whose lane extent is not 128-aligned (and
+    every mip chain reaches <128 dims), and a common extent means every
+    level's brick DMA writes the full scratch-buffer lane span (no
+    lane-sliced destinations at all).  Cheap: the coarse levels are tiny."""
+    lzb = max(LANE, _ceil_to(mips[0].shape[2], LANE))
     out = []
     for m in mips:
-        d = m.shape[1]
-        if d < LBY:
-            m = jnp.pad(m, ((0, 0), (0, LBY - d), (0, 0)))
+        dy, dz = m.shape[1], m.shape[2]
+        py = max(LBY - dy, 0)
+        pz = lzb - dz
+        if py or pz:
+            m = jnp.pad(m, ((0, 0), (0, py), (0, pz)))
         out.append(m.astype(jnp.bfloat16))
     return tuple(out)
 
 
 def pack_field_mips(mips: Sequence[Array]) -> Tuple[Array, ...]:
-    """(D, D, D, C) fields -> bf16, z zero-padded to >= FBZ."""
+    """(D, D, D, C) fields -> bf16; z zero-padded to >= FBZ, C (the lane
+    dim) zero-padded to a multiple of LANE (same Mosaic constraint)."""
     out = []
     for m in mips:
-        d = m.shape[2]
-        if d < FBZ:
-            m = jnp.pad(m, ((0, 0), (0, 0), (0, FBZ - d), (0, 0)))
+        dz, c = m.shape[2], m.shape[3]
+        pz = max(FBZ - dz, 0)
+        pc = _ceil_to(c, LANE) - c
+        if pz or pc:
+            m = jnp.pad(m, ((0, 0), (0, 0), (0, pz), (0, pc)))
         out.append(m.astype(jnp.bfloat16))
     return tuple(out)
 
@@ -155,8 +172,9 @@ def select_light_bricks(uvw: Array, valid: Array,
 def select_field_bricks(uvw: Array, valid: Array,
                         dims: Sequence[int]) -> Tuple[Array, Array]:
     """Field brick: (x free, y free, z 16-aligned/32-wide, C full).
-    Fits when the x/y footprint <= BRICK_F - 2 and the z footprint <= 16
-    (a 16-aligned 32-extent window covers any 16-cell footprint + corner)."""
+    Fits when the x/y footprint <= BRICK_F - 2 and the z footprint <= 15
+    (a 16-aligned 32-extent window covers any 15-cell footprint + the
+    trilinear corner even when lo % 16 == 15)."""
     assert dims[-1] == BRICK_F, dims
 
     def origin(lo, d):
@@ -165,8 +183,12 @@ def select_field_bricks(uvw: Array, valid: Array,
         oz = _aligned(lo[..., 2], d, FBZ)
         return jnp.stack([ox, oy, oz], axis=-1).astype(jnp.int32)
 
+    # z threshold is FBZ - ALIGN - 1 = 15: a 16-aligned origin loses up to
+    # ALIGN-1 cells (lo % 16 == 15), and the trilinear +1 corner adds one,
+    # so a footprint of 15 exactly fills the 32-cell window; 16 would
+    # overflow it by one cell for lo % 16 == 15 (ADVICE r2, high).
     return _select(uvw, valid, dims,
-                   (BRICK_F - 2, BRICK_F - 2, FBZ - ALIGN), origin)
+                   (BRICK_F - 2, BRICK_F - 2, FBZ - ALIGN - 1), origin)
 
 
 # ---------------------------------------------------------------------------
@@ -218,7 +240,7 @@ def expansion_matrices() -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _tap_kernel(scal_ref,                 # (ntiles, 8) int32 prefetch
+def _tap_kernel(scal_ref,                 # (8, ntiles) int32 prefetch
                 gbuf_ref,                 # (TILE, 24) f32
                 foldx_ref,                # (BRICK_L*LBY, BRICK_L) static fold
                 basis_ref,                # (3, nb) basis directions^T
@@ -226,40 +248,41 @@ def _tap_kernel(scal_ref,                 # (ntiles, 8) int32 prefetch
                 ex_ref, ey_ref, ez_ref,   # expansion matrices
                 ed_ref,                   # (nb, 4nb) diffuse-weight expansion
                 *refs,
-                nl: int, nf: int, cfield: int, world_size: float,
+                nl: int, nf: int, cfield: int, cpad: int, world_size: float,
                 voxel: float, shadow_offset: float,
-                light_dims: Tuple[int, ...], field_dims: Tuple[int, ...],
+                light_dims: Tuple[int, ...], light_zs: Tuple[int, ...],
+                field_dims: Tuple[int, ...],
                 cone_dirs: np.ndarray, cone_weights: np.ndarray,
                 nb: int, power_diffuse: int, nout: int):
     light_refs = refs[:nl]
     field_refs = refs[nl:nl + nf]
     out_ref = refs[nl + nf]
-    lbuf = refs[nl + nf + 1]              # (2, BRICK_L, LBY, LZ0) bf16
-    fbuf = refs[nl + nf + 2]              # (2, BRICK_F, BRICK_F, FBZ, C) bf16
+    lbuf = refs[nl + nf + 1]              # (2, BRICK_L, LBY, LZB) bf16
+    fbuf = refs[nl + nf + 2]              # (2, BRICK_F, BRICK_F, FBZ, cpad)
     lsem = refs[nl + nf + 3]
     fsem = refs[nl + nf + 4]
-    lz0 = light_dims[0]
+    lzb = light_zs[0]                     # buffer lane extent (128-multiple)
 
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
     def light_dma(tile, slot):
-        lvl = scal_ref[tile, 0]
-        ox = scal_ref[tile, 1]
-        oy = pl.multiple_of(scal_ref[tile, 2], ALIGN)
+        lvl = scal_ref[0, tile]
+        ox = scal_ref[1, tile]
+        oy = pl.multiple_of(scal_ref[2, tile], ALIGN)
         for li, ref in enumerate(light_refs):
-            dl = light_dims[li]
-
             @pl.when(lvl == li)
             def _():
+                # every packed level shares the buffer's z extent, so the
+                # destination is the full lane span (no lane slicing)
                 pltpu.make_async_copy(
                     ref.at[pl.ds(ox, BRICK_L), pl.ds(oy, LBY), :],
-                    lbuf.at[slot, :, :, 0:dl], lsem.at[slot]).start()
+                    lbuf.at[slot], lsem.at[slot]).start()
 
     def field_dma(tile, slot):
-        lvl = scal_ref[tile, 4]
-        ox, oy = scal_ref[tile, 5], scal_ref[tile, 6]
-        oz = pl.multiple_of(scal_ref[tile, 7], ALIGN)
+        lvl = scal_ref[4, tile]
+        ox, oy = scal_ref[5, tile], scal_ref[6, tile]
+        oz = pl.multiple_of(scal_ref[7, tile], ALIGN)
         for fi, ref in enumerate(field_refs):
             @pl.when(lvl == fi)
             def _():
@@ -294,17 +317,17 @@ def _tap_kernel(scal_ref,                 # (ntiles, 8) int32 prefetch
 
     # ---- shadow tap (shading.shadow_volume_tap) ----
     ldim = (jnp.float32(light_dims[0])
-            / jnp.exp2(scal_ref[i, 0].astype(jnp.float32)))
+            / jnp.exp2(scal_ref[0, i].astype(jnp.float32)))
     p_light = pos + geo_n * (voxel * shadow_offset)
-    lwx = _axis_twohot(p_light[:, 0:1], scal_ref[i, 1].astype(jnp.float32),
+    lwx = _axis_twohot(p_light[:, 0:1], scal_ref[1, i].astype(jnp.float32),
                        ldim, world_size, BRICK_L)
-    lwy = _axis_twohot(p_light[:, 1:2], scal_ref[i, 2].astype(jnp.float32),
+    lwy = _axis_twohot(p_light[:, 1:2], scal_ref[2, i].astype(jnp.float32),
                        ldim, world_size, LBY)
     lwz = _axis_twohot(p_light[:, 2:3], jnp.float32(0.0),
-                       ldim, world_size, lz0)
+                       ldim, world_size, lzb)
     # separable contraction: (x, y, z) brick -> (xy, z) 2-D (leading-dim
     # reshape, lane dim intact), z via MXU, y via static fold matrix
-    b2 = lbuf[slot].reshape(BRICK_L * LBY, lz0)          # (512, z) bf16
+    b2 = lbuf[slot].reshape(BRICK_L * LBY, lzb)          # (512, z) bf16
     tz = jax.lax.dot_general(
         lwz.astype(jnp.bfloat16), b2, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)              # (TILE, xy)
@@ -316,20 +339,20 @@ def _tap_kernel(scal_ref,                 # (ntiles, 8) int32 prefetch
 
     # ---- field tap: one brick, both stacked field groups ----
     fdim = (jnp.float32(field_dims[0])
-            / jnp.exp2(scal_ref[i, 4].astype(jnp.float32)))
+            / jnp.exp2(scal_ref[4, i].astype(jnp.float32)))
     p_field = pos + normal * voxel
-    fwx = _axis_twohot(p_field[:, 0:1], scal_ref[i, 5].astype(jnp.float32),
+    fwx = _axis_twohot(p_field[:, 0:1], scal_ref[5, i].astype(jnp.float32),
                        fdim, world_size, BRICK_F)
-    fwy = _axis_twohot(p_field[:, 1:2], scal_ref[i, 6].astype(jnp.float32),
+    fwy = _axis_twohot(p_field[:, 1:2], scal_ref[6, i].astype(jnp.float32),
                        fdim, world_size, BRICK_F)
-    fwz = _axis_twohot(p_field[:, 2:3], scal_ref[i, 7].astype(jnp.float32),
+    fwz = _axis_twohot(p_field[:, 2:3], scal_ref[7, i].astype(jnp.float32),
                        fdim, world_size, FBZ)
     w3f = _w3(fwx, fwy, fwz, ex_ref[...], ey_ref[...],
               ez_ref[...]).astype(jnp.bfloat16)
-    fb = fbuf[slot].reshape(CELLS_F, cfield)
+    fb = fbuf[slot].reshape(CELLS_F, cpad)
     tap = jax.lax.dot_general(
         w3f, fb, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (TILE, cfield)
+        preferred_element_type=jnp.float32)              # (TILE, cpad)
 
     # ---- diffuse basis weighting (shading.indirect_diffuse_field) ----
     k = cone_dirs.shape[0]
@@ -364,27 +387,29 @@ def _tap_kernel(scal_ref,                 # (ntiles, 8) int32 prefetch
 
     parts = [shadow, diffuse, jnp.zeros((TILE, 3), jnp.float32)]
     if cfield > 4 * nb:                                  # specular group raw
-        parts.append(tap[:, 4 * nb:])
+        parts.append(tap[:, 4 * nb:cfield])
     out = jnp.concatenate(parts, axis=1)
     out_ref[...] = out[:, :nout]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("world_size", "voxel", "shadow_offset", "power_diffuse",
-                     "interpret", "cones_static"))
+    static_argnames=("cfield", "world_size", "voxel", "shadow_offset",
+                     "power_diffuse", "interpret", "cones_static"))
 def tap_tiles(gbuf: Array,                 # (ntiles*TILE, 24) tile-major
               scalars: Array,              # (ntiles, 8) int32
-              light_mips: Tuple[Array, ...],   # each (D, max(D,LBY), D) bf16
-              field_mips: Tuple[Array, ...],   # each (D,D,max(D,FBZ),C) bf16
-              *, world_size: float, voxel: float, shadow_offset: float,
-              power_diffuse: int, cones_static, interpret: bool = False
-              ) -> Array:
+              light_mips: Tuple[Array, ...],   # (D, max(D,LBY), pad128(D))
+              field_mips: Tuple[Array, ...],   # (D,D,max(D,FBZ),pad128(C))
+              *, cfield: int, world_size: float, voxel: float,
+              shadow_offset: float, power_diffuse: int, cones_static,
+              interpret: bool = False) -> Array:
     """Per-pixel (shadow, diffuse rgba, raw specular per-basis vec4s).
 
     light_mips/field_mips must come from pack_light_mips/pack_field_mips;
-    cones_static: (cone_dirs, cone_weights, basis) as nested tuples (hashable
-    static arg); returns (ntiles*TILE, 8 + [4*nb]) f32.
+    cfield is the LOGICAL field channel count (the packed arrays carry it
+    zero-padded to a LANE multiple); cones_static: (cone_dirs, cone_weights,
+    basis) as nested tuples (hashable static arg); returns
+    (ntiles*TILE, 8 + [4*nb]) f32.
     """
     cone_dirs = np.asarray(cones_static[0], np.float32)
     cone_weights = np.asarray(cones_static[1], np.float32)
@@ -393,13 +418,15 @@ def tap_tiles(gbuf: Array,                 # (ntiles*TILE, 24) tile-major
     n = gbuf.shape[0]
     ntiles = n // TILE
     assert n % TILE == 0
-    cfield = field_mips[0].shape[-1]
+    cpad = field_mips[0].shape[-1]
+    assert cpad == _ceil_to(cfield, LANE), (cpad, cfield)
     nb = basis.shape[0]
     has_spec = cfield > 4 * nb
     nout = 8 + (cfield - 4 * nb if has_spec else 0)
     light_dims = tuple(m.shape[0] for m in light_mips)
+    light_zs = tuple(m.shape[2] for m in light_mips)
     field_dims = tuple(m.shape[0] for m in field_mips)
-    lz0 = light_dims[0]
+    lzb = light_zs[0]
 
     foldx = np.zeros((BRICK_L * LBY, BRICK_L), np.float32)
     for xx in range(BRICK_L):
@@ -412,8 +439,9 @@ def tap_tiles(gbuf: Array,                 # (ntiles*TILE, 24) tile-major
 
     kern = functools.partial(
         _tap_kernel, nl=len(light_mips), nf=len(field_mips), cfield=cfield,
-        world_size=world_size, voxel=voxel, shadow_offset=shadow_offset,
-        light_dims=light_dims, field_dims=field_dims, cone_dirs=cone_dirs,
+        cpad=cpad, world_size=world_size, voxel=voxel,
+        shadow_offset=shadow_offset, light_dims=light_dims,
+        light_zs=light_zs, field_dims=field_dims, cone_dirs=cone_dirs,
         cone_weights=cone_weights, nb=nb, power_diffuse=power_diffuse,
         nout=nout)
 
@@ -443,17 +471,20 @@ def tap_tiles(gbuf: Array,                 # (ntiles*TILE, 24) tile-major
         out_specs=pl.BlockSpec((TILE, nout), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, BRICK_L, LBY, lz0), jnp.bfloat16),
-            pltpu.VMEM((2, BRICK_F, BRICK_F, FBZ, cfield), jnp.bfloat16),
+            pltpu.VMEM((2, BRICK_L, LBY, lzb), jnp.bfloat16),
+            pltpu.VMEM((2, BRICK_F, BRICK_F, FBZ, cpad), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    # (8, ntiles): SMEM pads the trailing dim to 128 lanes, so the tile
+    # count must ride the leading dim or the prefetch blows the 1MB SMEM
+    # budget at 1080p (8160 tiles x 128-lane padding = 4 MB).
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, nout), jnp.float32),
         interpret=interpret,
-    )(scalars, gbuf, jnp.asarray(foldx), jnp.asarray(basis.T),
+    )(scalars.T, gbuf, jnp.asarray(foldx), jnp.asarray(basis.T),
       jnp.asarray(sel), jnp.asarray(ex), jnp.asarray(ey), jnp.asarray(ez),
       jnp.asarray(ed), *light_mips, *field_mips)

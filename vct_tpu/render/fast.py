@@ -167,9 +167,11 @@ def render_frame(cfg: VCTConfig,
         [llev[:, None], lorg, flev[:, None], forg], axis=1).astype(jnp.int32)
 
     # 3. taps
+    cfield = 4 * cfg.cones.field_basis * (2 if cfg.cones.trace_specular
+                                          else 1)
     taps = TP.tap_tiles(
         g, scal, tables.light_mips, tables.field_mips,
-        world_size=ws, voxel=voxel,
+        cfield=cfield, world_size=ws, voxel=voxel,
         shadow_offset=cfg.shadow.normal_offset,
         power_diffuse=int(cfg.cones.basis_power_diffuse),
         cones_static=_cones_static(cfg), interpret=interpret)

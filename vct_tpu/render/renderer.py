@@ -577,7 +577,10 @@ def render_image(
         camera, cfg.render.width, cfg.render.height)
     cam_pos = jnp.asarray(camera.position, jnp.float32)
 
-    if use_fast_path(cfg):
+    # jit=False is the non-compiled debugging escape hatch; the fast path
+    # always compiles (its Pallas kernels have no eager form), so it only
+    # routes here when jit is on (ADVICE r2).
+    if jit and use_fast_path(cfg):
         voxels = jax.jit(build_voxel_state, static_argnums=0)(
             cfg, samples, mats)
         img = render_camera_pass(cfg, ds, voxels, mats, origins, dirs,
