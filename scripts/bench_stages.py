@@ -1,0 +1,164 @@
+"""TPU stage breakdown of the fast frame path at 1080p: raycast /
+brick-select prepass / tap kernel / material+combine, each timed as its
+own jitted stage so the 338 ms frame (BENCH r3 start) can be attributed.
+
+Run from the repo root: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_stages.py
+"""
+
+import dataclasses
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vct_tpu.config import preset
+from vct_tpu.core import camera as cameralib
+from vct_tpu.core import grid as G
+from vct_tpu.ops import raycast_pallas as RP
+from vct_tpu.ops import tap_pallas as TP
+from vct_tpu.render import fast as F
+from vct_tpu.render import renderer as R
+from vct_tpu.scene.atrium import atrium
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def sync(x):
+    return float(jnp.sum(jnp.ravel(x)[:8]))
+
+
+def timeit(name, fn, reps=5):
+    fn()  # compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    dt = float(np.median(ts))
+    log(f"{name:32s} {dt*1e3:8.1f} ms")
+    return dt
+
+
+def main():
+    width, height = 1920, 1080
+    cfg = preset("sponza256")
+    cfg = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, width=width,
+                                        height=height))
+    scene = atrium()
+    camera = cameralib.Camera(position=(48.0, -10.0, 0.0), yaw=180.0)
+    ds, mats, samples = R.prepare_scene(cfg, scene)
+    voxels = R.build_voxel_state_staged(cfg, samples, mats)
+    tables = F.build_frame_tables(cfg, voxels, mats)
+    sync(tables.field_mips[0])
+
+    origins, dirs = cameralib.primary_rays(camera, width, height)
+    cam = jnp.asarray(camera.position, jnp.float32)
+    h, w = dirs.shape[:2]
+    hp = -(-h // F.TSY) * F.TSY
+    wp = -(-w // F.TSX) * F.TSX
+    dpad = jnp.pad(dirs, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+    d = jax.jit(lambda x: F._tile_order(x, hp, wp))(dpad)
+    origin = origins.reshape(-1, 3)[0]
+    isect, attrs, _ = RP.pack_tables(ds, origin, mats.albedo, mats.specular)
+
+    rc = jax.jit(lambda d: RP.raycast_gbuf24(d, origin, isect, attrs))
+    g = rc(d)
+    sync(g)
+    timeit("raycast_gbuf24", lambda: sync(rc(d)))
+
+    voxel = cfg.grid.voxel_world_size
+    ws = cfg.grid.world_size
+    tile = F.TSY * F.TSX
+    ntiles = g.shape[0] // tile
+    ldims = tuple(m.shape[0] for m in tables.light_mips)
+    fdims = tuple(m.shape[0] for m in tables.field_mips)
+
+    @jax.jit
+    def prepass(g):
+        tiled = lambda x: x.reshape((ntiles, tile) + x.shape[1:])
+        pos, nrm, geo = g[:, 0:3], g[:, 3:6], g[:, 6:9]
+        hit = g[:, 19] > 0.5
+        p_l = pos + geo * (voxel * cfg.shadow.normal_offset)
+        p_f = pos + nrm * voxel
+        llev, lorg = TP.select_light_bricks(
+            tiled(G.world_to_uvw(p_l, ws)), tiled(hit), ldims)
+        flev, forg = TP.select_field_bricks(
+            tiled(G.world_to_uvw(p_f, ws)), tiled(hit), fdims)
+        return jnp.concatenate(
+            [llev[:, None], lorg, flev[:, None], forg],
+            axis=1).astype(jnp.int32)
+
+    scal = prepass(g)
+    sync(scal)
+    timeit("brick-select prepass", lambda: sync(prepass(g)))
+
+    cfield = 4 * cfg.cones.field_basis * 2
+    taps_fn = lambda: TP.tap_tiles(
+        g, scal, tables.light_mips, tables.field_mips,
+        cfield=cfield, world_size=ws, voxel=voxel,
+        shadow_offset=cfg.shadow.normal_offset,
+        power_diffuse=int(cfg.cones.basis_power_diffuse),
+        cones_static=F._cones_static(cfg), tile=tile)
+    sync(taps_fn())
+    timeit("tap_tiles kernel", lambda: sync(taps_fn()))
+
+    from vct_tpu.scene import textures as TX
+    from vct_tpu.render import shading
+    from vct_tpu.core import dense as D
+
+    @jax.jit
+    def material(g):
+        res = tables.packed_atlas.shape[1]
+        mat_id = g[:, 17].astype(jnp.int32)
+        albedo4, spec, (h0, hx, hy) = TX.sample_packed(
+            tables.packed_atlas, res, mat_id, g[:, 15:17])
+        sn = TX.bump_normal_from_heights(
+            h0, hx, hy, g[:, 9:12], g[:, 12:15], g[:, 3:6])
+        return albedo4, spec, sn
+
+    if tables.packed_atlas is not None:
+        albedo4, spec, sn = material(g)
+        sync(albedo4)
+        timeit("material fetch (atlas)", lambda: sync(material(g)[0]))
+    else:
+        albedo4 = g[:, 20:24]
+        spec, sn = g[:, 24:27], g[:, 3:6]
+
+    taps = taps_fn()
+
+    @jax.jit
+    def tail(g, taps, albedo4, spec, sn):
+        pos = g[:, 0:3]
+        spec = shading.spec_gray_fallback(spec)
+        eye = shading.C.normalize(cam - pos)
+        refl = shading.reflect_eye(sn, eye)
+        basis = D.direction_basis(cfg.cones.field_basis)
+        sw = D.basis_weights(refl, basis, cfg.cones.basis_power_specular)
+        stap = taps[:, 8:].reshape(-1, cfg.cones.field_basis, 4)
+        sout = jnp.einsum("nb,nbc->nc", sw, stap)
+        rgb = shading.combine(
+            cfg, albedo=albedo4[:, :3], spec_color=spec, normal=sn,
+            light_dir=jnp.asarray(cfg.light.direction) / np.linalg.norm(
+                cfg.light.direction), eye_dir=eye, shadow=taps[:, 0],
+            ind_diffuse_rgb=taps[:, 1:4], ind_diffuse_occ=taps[:, 4],
+            ind_spec_rgb=sout[:, :3], ind_spec_occ=sout[:, 3],
+            shininess=cfg.render.shininess)
+        return F._untile(rgb, hp, wp)[:h, :w]
+
+    sync(tail(g, taps, albedo4, spec, sn))
+    timeit("specular+combine+untile", lambda: sync(
+        tail(g, taps, albedo4, spec, sn)))
+
+    frame = lambda: F.render_frame(cfg, ds, tables, mats, origins, dirs, cam)
+    sync(frame())
+    full = timeit("FULL render_frame", lambda: sync(frame()))
+    log(f"1080p fps: {1.0/full:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -190,3 +190,113 @@ class TestTapKernel:
                   light_mips[0].shape[0], (TP.BRICK_L, TP.LBY, None))
             check(p_f[ti], scal[ti, 4], scal[ti, 5:8],
                   field_mips[0].shape[0], (TP.BRICK_F, TP.BRICK_F, TP.FBZ))
+
+
+class TestTapGradients:
+    def test_grads_flow_and_match_xla_path(self, setup):
+        """custom VJP: d(loss)/d(field mips) through the kernel equals the
+        gradient of the XLA field-mode shading path (tiles here all select
+        level 0), and light-volume grads are finite and nonzero."""
+        cfg, voxel, light_mips, field_mips, light_f32, field_f32, gbuf, nt \
+            = setup
+        scal = _scalars(cfg, voxel, gbuf, nt,
+                        tuple(m.shape[0] for m in light_mips),
+                        tuple(m.shape[0] for m in field_mips))
+        assert int(np.asarray(scal)[:, 4].max()) == 0   # level-0 field tiles
+        cones_static = (
+            tuple(map(tuple, np.asarray(C.CONE_DIRECTIONS[:6], np.float32))),
+            tuple(np.asarray(C.CONE_WEIGHTS[:6], np.float32)),
+            tuple(map(tuple, D.direction_basis(NB))),
+        )
+        w = jnp.asarray(np.random.RandomState(7).rand(
+            gbuf.shape[0], 5), jnp.float32)
+
+        def loss_kernel(field0):
+            fm = TP.pack_field_mips((field0,) + tuple(
+                f for f in field_f32[1:]))
+            out = TP.tap_tiles(
+                gbuf, scal, light_mips, fm, cfield=NB * 4 * 2,
+                world_size=WS, voxel=voxel,
+                shadow_offset=cfg.shadow.normal_offset, power_diffuse=8,
+                cones_static=cones_static, interpret=True)
+            return jnp.sum(out[:, :5] * w)
+
+        def loss_xla(field0):
+            pos, nrm = gbuf[:, 0:3], gbuf[:, 3:6]
+            cone_dirs = shading.pixel_cone_dirs(
+                cfg, nrm, gbuf[:, 9:12], gbuf[:, 12:15])
+            rgb, occ = shading.indirect_diffuse_field(
+                cfg, field0[..., :4 * NB], pos, nrm, cone_dirs)
+            lv = light_f32[0][..., None]
+            sh = shading.shadow_volume_tap(cfg, lv, pos, gbuf[:, 6:9])
+            out = jnp.concatenate(
+                [sh[:, None], rgb, occ[:, None]], axis=1)
+            return jnp.sum(out * w)
+
+        gk = jax.grad(loss_kernel)(field_f32[0])
+        gx = jax.grad(loss_xla)(field_f32[0])
+        assert np.all(np.isfinite(np.asarray(gk)))
+        assert float(jnp.abs(gk).max()) > 0
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gx),
+                                   rtol=2e-2, atol=2e-2)
+
+        def loss_light(l0):
+            lm = TP.pack_light_mips((l0,) + tuple(light_f32[1:]))
+            out = TP.tap_tiles(
+                gbuf, scal, lm, field_mips, cfield=NB * 4 * 2,
+                world_size=WS, voxel=voxel,
+                shadow_offset=cfg.shadow.normal_offset, power_diffuse=8,
+                cones_static=cones_static, interpret=True)
+            return jnp.sum(out[:, 0])
+
+        gl = jax.grad(loss_light)(light_f32[0])
+        assert np.all(np.isfinite(np.asarray(gl)))
+        assert float(jnp.abs(gl).max()) > 0
+
+    def test_ref_matches_kernel_forward(self, setup):
+        cfg, voxel, light_mips, field_mips, _, _, gbuf, nt = setup
+        scal = _scalars(cfg, voxel, gbuf, nt,
+                        tuple(m.shape[0] for m in light_mips),
+                        tuple(m.shape[0] for m in field_mips))
+        cones_static = (
+            tuple(map(tuple, np.asarray(C.CONE_DIRECTIONS[:6], np.float32))),
+            tuple(np.asarray(C.CONE_WEIGHTS[:6], np.float32)),
+            tuple(map(tuple, D.direction_basis(NB))),
+        )
+        kw = dict(cfield=NB * 4 * 2, world_size=WS, voxel=voxel,
+                  shadow_offset=cfg.shadow.normal_offset, power_diffuse=8,
+                  cones_static=cones_static)
+        out_k = TP.tap_tiles(gbuf, scal, light_mips, field_mips,
+                             interpret=True, **kw)
+        out_r = TP.tap_tiles_ref(gbuf, scal, light_mips, field_mips, **kw)
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                                   rtol=2e-2, atol=2e-2)
+
+
+def test_select_covers_bricks_align_straddle():
+    """ADVICE r2: at level dims >= 64 a z footprint at the fit threshold
+    straddling an ALIGN boundary (lo % 16 == 15) must still be covered —
+    the off-by-one (threshold 16 vs 15) put the trilinear +1 corner one
+    cell past the 32-wide window."""
+    d0 = 64
+    dims = (64, 32, 16, 8)
+    ws = 150.0
+    # z cells 15..30 at d=64 (footprint 15, lo%16==15): uvw for cell c is
+    # (c + 0.5 + eps)/d
+    cells_z = np.linspace(15.2, 30.8, TP.TILE)
+    uvw = np.zeros((1, TP.TILE, 3), np.float32)
+    uvw[0, :, 0] = (20.0 + 0.5) / d0
+    uvw[0, :, 1] = (33.0 + 0.5) / d0
+    uvw[0, :, 2] = (cells_z + 0.5) / d0
+    valid = np.ones((1, TP.TILE), bool)
+    lev, org = TP.select_field_bricks(
+        jnp.asarray(uvw), jnp.asarray(valid), dims)
+    lev, org = int(lev[0]), np.asarray(org[0])
+    d = dims[lev]
+    t = np.clip(uvw[0] * d - 0.5, 0.0, d - 1.0)
+    i0 = np.clip(np.floor(t), 0, d - 2)
+    lo, hi = i0.min(axis=0), (i0 + 1).max(axis=0)
+    ext = (TP.BRICK_F, TP.BRICK_F, TP.FBZ)
+    for ax in range(3):
+        assert lo[ax] >= org[ax], (ax, lo[ax], org[ax])
+        assert hi[ax] < org[ax] + ext[ax], (ax, hi[ax], org[ax], ext[ax])

@@ -45,14 +45,15 @@ def _chunk_size(tp: int) -> int:
     """Triangles per inner iteration: one chunk when the table is small
     (avoids padding 1.1k triangles up to 2k), else TCHUNK."""
     return tp if tp <= 2 * TCHUNK else TCHUNK
-NATTR = 48              # vn9 vt9 vb9 uv6 fn3 mat1 albedo4 spec3 -> pad 48
-NOUT = 32               # pos3 n3 gn3 t3 b3 uv2 mat1 t1 hit1 alb4 spec3 -> 32
+NATTR = 48              # vn9 vt9 vb9 uv6 fn3 mat1 alb4 spec3 shin1 -> 48
+NOUT = 32               # pos3 n3 gn3 t3 b3 uv2 mat1 t1 hit1 alb4 spec3 shin1 -> 32
 _BIG = 3.0e38           # ~f32 max: "no hit" sentinel that survives arithmetic
 
 
 def pack_tables(ds: DeviceScene, origin: Array,
                 albedo: Optional[Array] = None,
-                specular: Optional[Array] = None
+                specular: Optional[Array] = None,
+                shininess: Optional[Array] = None
                 ) -> Tuple[Array, Array, int]:
     """Per-triangle tables for a fixed ray origin.
 
@@ -77,6 +78,8 @@ def pack_tables(ds: DeviceScene, origin: Array,
            else jnp.zeros((t, 4), jnp.float32))
     spec = (specular[ds.material] if specular is not None
             else jnp.zeros((t, 3), jnp.float32))
+    shin = (shininess[ds.material] if shininess is not None
+            else jnp.full((t,), 20.0, jnp.float32))
     attrs = jnp.concatenate([
         ds.vn.reshape(t, 9),
         ds.vt.reshape(t, 9),
@@ -86,7 +89,8 @@ def pack_tables(ds: DeviceScene, origin: Array,
         ds.material.astype(jnp.float32)[:, None],
         alb,
         spec,
-        jnp.zeros((t, NATTR - 44), jnp.float32),
+        shin[:, None],
+        jnp.zeros((t, NATTR - 45), jnp.float32),
     ], axis=-1)                                                # (T, NATTR)
 
     tp128 = -(-t // 128) * 128                 # lane-aligned triangle count
@@ -169,6 +173,7 @@ def _kernel(dirs_ref, o_ref, isect_ref, attrs_ref, out_ref, *, tp: int,
     mat = g[:, 39:40]
     alb = g[:, 40:44]
     spec = g[:, 44:47]
+    shin = g[:, 47:48]
 
     def interp3(a9):
         return w0 * a9[:, 0:3] + u * a9[:, 3:6] + v * a9[:, 6:9]
@@ -185,21 +190,98 @@ def _kernel(dirs_ref, o_ref, isect_ref, attrs_ref, out_ref, *, tp: int,
     pos = o + ts * d
     out = jnp.concatenate([
         pos, normal, fn, tangent, bitan, uv, mat, ts,
-        hit.astype(jnp.float32), alb, spec,
-        jnp.zeros((TILE, NOUT - 27), jnp.float32),
+        hit.astype(jnp.float32), alb, spec, shin,
+        jnp.zeros((TILE, NOUT - 28), jnp.float32),
     ], axis=1)
     out_ref[...] = out
+
+
+def raycast_ref(dirs: Array, origin: Array, isect: Array,
+                attrs: Array, eps: float = 1e-7,
+                tmin_eps: float = 1e-4) -> Array:
+    """Pure-jnp mirror of the raycast kernels (same packed-table math,
+    same first-min winner), O(N x Tp) memory — the differentiable
+    linearization point for their custom VJP and a test oracle.  Output
+    layout identical to raycast_gbuf24."""
+    d = dirs
+    blk = isect                                    # (16, Tp)
+    tp = blk.shape[1]
+    det = d @ blk[0:3]
+    ud = d @ blk[3:6]
+    vd = d @ blk[6:9]
+    kk = blk[9:10]
+    s = jnp.sign(det)
+    ad = jnp.abs(det)
+    sk = s * kk
+    valid = ((ad > eps) & (s * ud >= 0) & (s * vd >= 0)
+             & (s * (ud + vd) <= ad) & (sk > tmin_eps * ad))
+    tval = sk / jnp.maximum(ad, eps)
+    tcand = jnp.where(valid, tval, _BIG)
+    tbest = jnp.min(tcand, axis=1, keepdims=True)
+    lanes = jnp.arange(tp)[None, :]
+    idx = jnp.min(jnp.where(tcand == tbest, lanes, tp), axis=1,
+                  keepdims=True)
+    onehot = ((lanes == idx) & (tbest < _BIG)).astype(jnp.float32)
+    inv = 1.0 / jnp.maximum(ad, eps)
+    u_c = jnp.sum(onehot * ud * s * inv, axis=1, keepdims=True)
+    v_c = jnp.sum(onehot * vd * s * inv, axis=1, keepdims=True)
+    arow = onehot @ attrs                          # (N, NATTR)
+    g = jnp.concatenate([u_c, v_c, jnp.zeros_like(u_c), arow], axis=1)
+
+    class _Ref:                                    # mimic o_ref[0:1, :]
+        def __init__(self, o):
+            self.o = o
+
+        def __getitem__(self, sl):
+            return self.o[None, :]
+
+    return _finish_gbuf(d, _Ref(origin), tbest, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _raycast_call(dirs, origin, isect, attrs, interpret):
+    return _raycast_pallas(dirs, origin, isect, attrs, interpret)
+
+
+def _raycast_fwd(dirs, origin, isect, attrs, interpret):
+    out = _raycast_pallas(dirs, origin, isect, attrs, interpret)
+    return out, (dirs, origin, isect, attrs)
+
+
+def _raycast_bwd(interpret, res, bar):
+    """Gradients to the ATTRIBUTE table (linear: one-hot winner fetch,
+    interpolation, normalization — all differentiable through the jnp
+    ref).  Geometry inputs (dirs/origin/isect) get zero cotangents: hit
+    topology is a step function, matching the reference's
+    non-differentiable rasterizer (VoxelConeTracing.vs + hardware raster).
+    """
+    dirs, origin, isect, attrs = res
+    _, vjp = jax.vjp(lambda at: raycast_ref(dirs, origin, isect, at), attrs)
+    (dattrs,) = vjp(bar)
+    return (jnp.zeros_like(dirs), jnp.zeros_like(origin),
+            jnp.zeros_like(isect), dattrs)
+
+
+_raycast_call.defvjp(_raycast_fwd, _raycast_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def raycast_gbuf24(dirs: Array, origin: Array, isect: Array, attrs: Array,
                    interpret: bool = False) -> Array:
+    """Differentiable wrapper: forward is the Pallas kernel, reverse-mode
+    gradients reach `attrs` (material colors / shading attributes) via
+    raycast_ref's VJP; see raycast_ref/_raycast_bwd."""
+    return _raycast_call(dirs, origin, isect, attrs, interpret)
+
+
+def _raycast_pallas(dirs: Array, origin: Array, isect: Array, attrs: Array,
+                    interpret: bool = False) -> Array:
     """(N, 3) same-origin rays -> (N, NOUT) packed G-buffer.
 
     N must be a multiple of TILE; isect/attrs from pack_tables.
     Columns: 0:3 position, 3:6 shading normal, 6:9 geo normal, 9:12 tangent,
     12:15 bitangent, 15:17 uv, 17 material (f32), 18 t, 19 hit,
-    20:24 material albedo, 24:27 material specular.
+    20:24 material albedo, 24:27 material specular, 27 shininess.
     """
     n = dirs.shape[0]
     assert n % TILE == 0, n
@@ -224,6 +306,291 @@ def raycast_gbuf24(dirs: Array, origin: Array, isect: Array, attrs: Array,
         out_shape=jax.ShapeDtypeStruct((n, NOUT), jnp.float32),
         interpret=interpret,
     )(dirs, origin[None, :], isect, attrs)
+
+
+# ---------------------------------------------------------------------------
+# Streamed raycast: triangle chunks DMA'd HBM -> VMEM with per-tile
+# cone-vs-sphere chunk culling — primary visibility sublinear in triangle
+# count, Sponza-scale (Model.h:43, Voxel_Cone_Tracing.h:77).
+#
+# The scene's triangles are Morton-sorted (gbuffer.DeviceScene), so CHUNK-
+# sized runs are spatially compact; an XLA prepass bounds each chunk with a
+# sphere and each 256-ray tile with a direction cone (shared pinhole
+# origin), keeps chunks whose sphere touches the cone (conservative — the
+# kernel's output is bit-identical to brute force), and compacts the
+# surviving chunk ids into per-tile lists.  The kernel streams each tile's
+# listed chunks through double-buffered VMEM scratch with a dynamic-bound
+# fori, computing exactly the whole-table kernel's math per chunk.
+# ---------------------------------------------------------------------------
+
+CHUNK = 256             # triangles per streamed chunk (lane-aligned: 2x128)
+
+
+def pack_tables_stream(ds: DeviceScene, origin: Array,
+                       albedo: Optional[Array] = None,
+                       specular: Optional[Array] = None,
+                       shininess: Optional[Array] = None
+                       ) -> Tuple[Array, Array, Array, int]:
+    """Streaming tables: (isect (16, Tp), attrsT (NATTR, Tp),
+    spheres (nchunk, 4), T) with Tp a CHUNK multiple.
+
+    isect/attrs as pack_tables (same per-triangle constants); attrs is
+    TRANSPOSED so a chunk slice is lane-aligned (the NATTR dim is not a
+    128-multiple, so it cannot be the lane dim of a sliced DMA).  spheres
+    rows are (center - origin, radius) per chunk — radius -inf for chunks
+    that are all padding, so they cull everywhere.
+    """
+    isect_t, attrs, t = pack_tables(ds, origin, albedo, specular,
+                                    shininess)
+    isect = isect_t.T                              # (Tp0, 16)
+    tp0 = isect.shape[0]
+    tp = -(-tp0 // CHUNK) * CHUNK
+    if tp > tp0:
+        isect = jnp.concatenate(
+            [isect, jnp.zeros((tp - tp0, 16), isect.dtype)], axis=0)
+        attrs = jnp.concatenate(
+            [attrs, jnp.zeros((tp - tp0, NATTR), attrs.dtype)], axis=0)
+    nchunk = tp // CHUNK
+
+    # chunk bounding spheres over the REAL triangles' corners
+    v0 = ds.v0
+    verts = jnp.concatenate([v0, v0 + ds.e1, v0 + ds.e2], axis=1)  # (T, 9)
+    pad = tp - t
+    if pad:
+        verts = jnp.concatenate(
+            [verts, jnp.zeros((pad, 9), verts.dtype)], axis=0)
+    real = (jnp.arange(tp) < t)[:, None]
+    big = jnp.float32(_BIG)
+    vmin = jnp.min(jnp.where(real, verts, big).reshape(nchunk, CHUNK, 3, 3),
+                   axis=(1, 2))
+    vmax = jnp.max(jnp.where(real, verts, -big).reshape(nchunk, CHUNK, 3, 3),
+                   axis=(1, 2))
+    any_real = jnp.any(real.reshape(nchunk, CHUNK), axis=1)
+    center = jnp.where(any_real[:, None], 0.5 * (vmin + vmax), 0.0)
+    radius = jnp.where(
+        any_real, jnp.linalg.norm(
+            jnp.where(any_real[:, None], vmax - center, 0.0), axis=1), -big)
+    spheres = jnp.concatenate(
+        [center - origin[None, :], radius[:, None]], axis=1)
+    return isect.T, attrs.T, spheres, t
+
+
+def select_chunks(dirs: Array, spheres: Array) -> Tuple[Array, Array]:
+    """Per-ray-tile chunk lists: dirs (nrt, TILE, 3) unit directions,
+    spheres (nchunk, 4) origin-relative -> (lists (nrt, nchunk) int32,
+    counts (nrt,) int32).
+
+    Tile bounding cone: axis = normalized mean direction, cos half-angle =
+    min ray dot (exact for the tile since min-dot over a convex direction
+    set is attained on it).  Sphere-vs-cone (Lengyel): cull when the signed
+    distance cosA*perp - sinA*along exceeds r, or the sphere is entirely
+    behind the apex — both conservative, so the streamed kernel's winner
+    set is a superset of every ray's true hits.
+    """
+    nrt, _, _ = dirs.shape
+    nchunk = spheres.shape[0]
+    axis = jnp.sum(dirs, axis=1)
+    axis = axis / jnp.maximum(
+        jnp.linalg.norm(axis, axis=1, keepdims=True), 1e-12)
+    cos_a = jnp.clip(jnp.min(jnp.einsum("ntk,nk->nt", dirs, axis), axis=1),
+                     1e-4, 1.0)                                 # (nrt,)
+    sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+    v = spheres[:, :3]                                          # (nchunk, 3)
+    r = spheres[:, 3]
+    along = jnp.einsum("nk,ck->nc", axis, v)                    # (nrt, nchunk)
+    vv = jnp.sum(v * v, axis=1)[None, :]
+    perp = jnp.sqrt(jnp.maximum(vv - along * along, 0.0))
+    dist = cos_a[:, None] * perp - sin_a[:, None] * along
+    keep = (dist <= r[None, :]) & (along >= -r[None, :])
+    counts = jnp.sum(keep, axis=1).astype(jnp.int32)
+    order = jnp.cumsum(keep, axis=1) - 1
+    order = jnp.where(keep, order, nchunk)                      # drop slot
+    rows = jnp.broadcast_to(jnp.arange(nrt)[:, None], (nrt, nchunk))
+    cis = jnp.broadcast_to(jnp.arange(nchunk)[None, :], (nrt, nchunk))
+    # lane dim padded to a 128-multiple: the kernel DMAs one lists row per
+    # tile, and Mosaic requires 128-aligned lane extents on sliced copies
+    ncp = -(-nchunk // 128) * 128
+    lists = jnp.zeros((nrt, ncp), jnp.int32).at[rows, order].set(
+        cis, mode="drop")
+    pad_r = (-nrt) % 8       # kernel copies 8-row groups (sublane-aligned)
+    if pad_r:
+        lists = jnp.concatenate(
+            [lists, jnp.zeros((pad_r, ncp), jnp.int32)], axis=0)
+    return lists, counts
+
+
+def _stream_kernel(counts_ref,              # (nrt,) int32 prefetch
+                   dirs_ref, o_ref, lists_ref, isect_ref, attrsT_ref,
+                   out_ref, listbuf, ibuf, abuf, lsem, isem, asem,
+                   *, nchunk: int, eps: float, tmin_eps: float):
+    d = dirs_ref[...]                       # (TILE, 3)
+    i = pl.program_id(0)
+    cnt = counts_ref[i]
+
+    # copy this tile's 8-row list group (single rows violate the (8, 128)
+    # sublane tiling when the compiler places `lists` in VMEM)
+    grp = pl.multiple_of(8 * (i // 8), 8)
+    pltpu.make_async_copy(lists_ref.at[pl.ds(grp, 8)], listbuf, lsem).start()
+    pltpu.make_async_copy(lists_ref.at[pl.ds(grp, 8)], listbuf, lsem).wait()
+    row = i % 8
+
+    def chunk_dma(j, slot):
+        ci = listbuf[row, j]
+        base = pl.multiple_of(ci * CHUNK, CHUNK)
+        pltpu.make_async_copy(
+            isect_ref.at[:, pl.ds(base, CHUNK)], ibuf.at[slot],
+            isem.at[slot]).start()
+        pltpu.make_async_copy(
+            attrsT_ref.at[:, pl.ds(base, CHUNK)], abuf.at[slot],
+            asem.at[slot]).start()
+
+    @pl.when(cnt > 0)
+    def _():
+        chunk_dma(0, 0)
+
+    def body(j, carry):
+        tbest, gbest = carry                # (TILE,1), (TILE,NATTR+3)
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < cnt)
+        def _():
+            chunk_dma(j + 1, jax.lax.rem(j + 1, 2))
+
+        pltpu.make_async_copy(ibuf.at[slot], ibuf.at[slot],
+                              isem.at[slot]).wait()
+        pltpu.make_async_copy(abuf.at[slot], abuf.at[slot],
+                              asem.at[slot]).wait()
+        blk = ibuf[slot]                              # (16, CHUNK)
+        at = abuf[slot]                               # (NATTR, CHUNK)
+        kk = blk[9:10, :]
+
+        def dot3(rows):
+            return jax.lax.dot_general(
+                d, rows, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        det = dot3(blk[0:3, :])
+        ud = dot3(blk[3:6, :])
+        vd = dot3(blk[6:9, :])
+        s = jnp.sign(det)
+        ad = jnp.abs(det)
+        sk = s * kk
+        valid = ((ad > eps) & (s * ud >= 0) & (s * vd >= 0)
+                 & (s * (ud + vd) <= ad) & (sk > tmin_eps * ad))
+        tval = sk / jnp.maximum(ad, eps)
+        tcand = jnp.where(valid, tval, _BIG)          # (TILE, CHUNK)
+
+        tmin_c = jnp.min(tcand, axis=1, keepdims=True)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, tcand.shape, 1)
+        idx_c = jnp.min(jnp.where(tcand == tmin_c, lanes, CHUNK),
+                        axis=1, keepdims=True)
+        onehot = ((lanes == idx_c) & (tmin_c < _BIG)).astype(jnp.float32)
+
+        inv = 1.0 / jnp.maximum(ad, eps)
+        u_c = jnp.sum(onehot * ud * s * inv, axis=1, keepdims=True)
+        v_c = jnp.sum(onehot * vd * s * inv, axis=1, keepdims=True)
+        arow = jax.lax.dot_general(
+            onehot, at, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (TILE, NATTR)
+        gcand = jnp.concatenate([u_c, v_c, jnp.zeros_like(u_c), arow],
+                                axis=1)
+
+        # strict < keeps the EARLIER chunk's winner on exact t ties, and
+        # chunk ids are ascending in the list — argmin-first semantics
+        # across the whole (Morton-sorted) table, matching pack order
+        better = tmin_c < tbest
+        return (jnp.where(better, tmin_c, tbest),
+                jnp.where(better, gcand, gbest))
+
+    tbest0 = jnp.full((TILE, 1), _BIG, jnp.float32)
+    gbest0 = jnp.zeros((TILE, NATTR + 3), jnp.float32)
+    tbest, g = jax.lax.fori_loop(0, cnt, body, (tbest0, gbest0))
+
+    out_ref[...] = _finish_gbuf(d, o_ref, tbest, g)
+
+
+def _finish_gbuf(d, o_ref, tbest, g):
+    """Shared G-buffer interpolation tail (gbuffer._interp_gbuffer)."""
+    hit = tbest < _BIG
+    ts = jnp.where(hit, tbest, 0.0)
+    u = g[:, 0:1]
+    v = g[:, 1:2]
+    w0 = 1.0 - u - v
+    vn = g[:, 3:12]
+    vt = g[:, 12:21]
+    vb = g[:, 21:30]
+    vuv = g[:, 30:36]
+    fn = g[:, 36:39]
+    mat = g[:, 39:40]
+    alb = g[:, 40:44]
+    spec = g[:, 44:47]
+    shin = g[:, 47:48]
+
+    def interp3(a9):
+        return w0 * a9[:, 0:3] + u * a9[:, 3:6] + v * a9[:, 6:9]
+
+    normal = interp3(vn)
+    nrm = jax.lax.rsqrt(jnp.maximum(
+        jnp.sum(normal * normal, axis=1, keepdims=True), 1e-24))
+    normal = normal * nrm
+    tangent = interp3(vt)
+    bitan = interp3(vb)
+    uv = w0 * vuv[:, 0:2] + u * vuv[:, 2:4] + v * vuv[:, 4:6]
+    o = o_ref[0:1, :]
+    pos = o + ts * d
+    n = d.shape[0]
+    return jnp.concatenate([
+        pos, normal, fn, tangent, bitan, uv, mat, ts,
+        hit.astype(jnp.float32), alb, spec, shin,
+        jnp.zeros((n, NOUT - 28), jnp.float32),
+    ], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def raycast_stream(dirs: Array, origin: Array, isect: Array, attrsT: Array,
+                   lists: Array, counts: Array,
+                   interpret: bool = False) -> Array:
+    """Streamed closest-hit G-buffer: (N, 3) same-origin rays ->
+    (N, NOUT), N a TILE multiple; tables from pack_tables_stream, chunk
+    lists from select_chunks.  Output columns as raycast_gbuf24."""
+    n = dirs.shape[0]
+    assert n % TILE == 0, n
+    tp = isect.shape[1]
+    assert tp % CHUNK == 0, tp
+    nchunk = tp // CHUNK
+    ncp = lists.shape[1]
+    assert lists.shape[0] >= n // TILE and ncp % 128 == 0 \
+        and ncp >= nchunk, (lists.shape, n, nchunk)
+    kern = functools.partial(_stream_kernel, nchunk=ncp, eps=1e-7,
+                             tmin_eps=1e-4)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // TILE,),
+        in_specs=[
+            pl.BlockSpec((TILE, 3), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),     # lists (nrt, nchunk)
+            pl.BlockSpec(memory_space=pltpu.ANY),     # isect (16, Tp)
+            pl.BlockSpec(memory_space=pltpu.ANY),     # attrsT (NATTR, Tp)
+        ],
+        out_specs=pl.BlockSpec((TILE, NOUT), lambda i, s: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((8, ncp), jnp.int32),
+            pltpu.VMEM((2, 16, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NATTR, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, NOUT), jnp.float32),
+        interpret=interpret,
+    )(counts, dirs, origin[None, :], lists, isect, attrsT)
 
 
 def gbuf24_to_gbuffer(g: Array) -> GBuffer:

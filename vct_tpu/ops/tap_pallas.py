@@ -113,23 +113,24 @@ def pack_field_mips(mips: Sequence[Array]) -> Tuple[Array, ...]:
 # XLA prepass: per-tile level + brick-origin selection
 # ---------------------------------------------------------------------------
 
-def _tap_bounds(uvw: Array, valid: Array, d: int):
-    """Per-tile [floor(lo), floor(hi)] cell bounds at level dim d."""
-    big = jnp.float32(3e38)
-    t = jnp.clip(uvw * d - 0.5, 0.0, d - 1.0)          # (ntiles, TILE, 3)
-    lo = jnp.floor(jnp.min(jnp.where(valid[..., None], t, big), axis=1))
-    hi = jnp.floor(jnp.max(jnp.where(valid[..., None], t, -big), axis=1))
-    return lo, hi
-
-
 def _select(uvw: Array, valid: Array, dims: Sequence[int],
             thresh: Sequence[int], origin_fn) -> Tuple[Array, Array]:
     """Shared level selection: finest level whose per-axis footprint
     (hi - lo, in cells) is within `thresh` (None = axis always fits);
-    the coarsest level force-fits (its brick covers the whole mip)."""
+    the coarsest level force-fits (its brick covers the whole mip).
+
+    One masked min/max reduction over the tile's pixels; per-level cell
+    bounds derive from the (ntiles, 3) uvw extrema because the
+    uvw -> floor(clip(uvw*d - 0.5)) map is monotone — so cost is
+    O(pixels) once, not O(pixels x levels)."""
+    big = jnp.float32(3e38)
+    vm = valid[..., None]
+    umin = jnp.min(jnp.where(vm, uvw, big), axis=1)      # (ntiles, 3)
+    umax = jnp.max(jnp.where(vm, uvw, -big), axis=1)
     fits, origins = [], []
     for d in dims:
-        lo, hi = _tap_bounds(uvw, valid, d)
+        lo = jnp.floor(jnp.clip(umin * d - 0.5, 0.0, d - 1.0))
+        hi = jnp.floor(jnp.clip(umax * d - 0.5, 0.0, d - 1.0))
         ok = jnp.ones(lo.shape[:-1], bool)
         for ax, th in enumerate(thresh):
             if th is not None:
@@ -196,15 +197,15 @@ def select_field_bricks(uvw: Array, valid: Array,
 # ---------------------------------------------------------------------------
 
 def _axis_twohot(p_ax: Array, origin_ax, dim, world_size: float,
-                 brick: int) -> Array:
-    """One axis's two-hot weights: p_ax (TILE, 1) world coords -> (TILE,
+                 brick: int, tile: int) -> Array:
+    """One axis's two-hot weights: p_ax (tile, 1) world coords -> (tile,
     brick) f32.  Matches grid.world_to_uvw + the edge-clamped texel-center
     convention of grid.trilinear_sample, rebased to the brick origin."""
     uvw = p_ax / (world_size * 0.5) * 0.5 + 0.5
     t = jnp.clip(uvw * dim - 0.5, 0.0, dim - 1.0) - origin_ax
     i0 = jnp.clip(jnp.floor(t), 0, brick - 2)
     f = jnp.clip(t - i0, 0.0, 1.0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE, brick), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tile, brick), 1)
     i = i0.astype(jnp.int32)
     return (jnp.where(cols == i, 1.0 - f, 0.0)
             + jnp.where(cols == i + 1, f, 0.0))
@@ -253,7 +254,7 @@ def _tap_kernel(scal_ref,                 # (8, ntiles) int32 prefetch
                 light_dims: Tuple[int, ...], light_zs: Tuple[int, ...],
                 field_dims: Tuple[int, ...],
                 cone_dirs: np.ndarray, cone_weights: np.ndarray,
-                nb: int, power_diffuse: int, nout: int):
+                nb: int, power_diffuse: int, nout: int, tile: int):
     light_refs = refs[:nl]
     field_refs = refs[nl:nl + nf]
     out_ref = refs[nl + nf]
@@ -320,11 +321,11 @@ def _tap_kernel(scal_ref,                 # (8, ntiles) int32 prefetch
             / jnp.exp2(scal_ref[0, i].astype(jnp.float32)))
     p_light = pos + geo_n * (voxel * shadow_offset)
     lwx = _axis_twohot(p_light[:, 0:1], scal_ref[1, i].astype(jnp.float32),
-                       ldim, world_size, BRICK_L)
+                       ldim, world_size, BRICK_L, tile)
     lwy = _axis_twohot(p_light[:, 1:2], scal_ref[2, i].astype(jnp.float32),
-                       ldim, world_size, LBY)
+                       ldim, world_size, LBY, tile)
     lwz = _axis_twohot(p_light[:, 2:3], jnp.float32(0.0),
-                       ldim, world_size, lzb)
+                       ldim, world_size, lzb, tile)
     # separable contraction: (x, y, z) brick -> (xy, z) 2-D (leading-dim
     # reshape, lane dim intact), z via MXU, y via static fold matrix
     b2 = lbuf[slot].reshape(BRICK_L * LBY, lzb)          # (512, z) bf16
@@ -342,11 +343,11 @@ def _tap_kernel(scal_ref,                 # (8, ntiles) int32 prefetch
             / jnp.exp2(scal_ref[4, i].astype(jnp.float32)))
     p_field = pos + normal * voxel
     fwx = _axis_twohot(p_field[:, 0:1], scal_ref[5, i].astype(jnp.float32),
-                       fdim, world_size, BRICK_F)
+                       fdim, world_size, BRICK_F, tile)
     fwy = _axis_twohot(p_field[:, 1:2], scal_ref[6, i].astype(jnp.float32),
-                       fdim, world_size, BRICK_F)
+                       fdim, world_size, BRICK_F, tile)
     fwz = _axis_twohot(p_field[:, 2:3], scal_ref[7, i].astype(jnp.float32),
-                       fdim, world_size, FBZ)
+                       fdim, world_size, FBZ, tile)
     w3f = _w3(fwx, fwy, fwz, ex_ref[...], ey_ref[...],
               ez_ref[...]).astype(jnp.bfloat16)
     fb = fbuf[slot].reshape(CELLS_F, cpad)
@@ -357,7 +358,7 @@ def _tap_kernel(scal_ref,                 # (8, ntiles) int32 prefetch
     # ---- diffuse basis weighting (shading.indirect_diffuse_field) ----
     k = cone_dirs.shape[0]
     bT = basis_ref[...]                                  # (3, nb)
-    dw = jnp.zeros((TILE, nb), jnp.float32)
+    dw = jnp.zeros((tile, nb), jnp.float32)
     for ck in range(k):
         # world-space cone dir: normalize(TBN @ dir_k), fs:175,198
         cd = cone_dirs[ck]
@@ -385,39 +386,25 @@ def _tap_kernel(scal_ref,                 # (8, ntiles) int32 prefetch
         wtap, sel_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)              # (TILE, 4)
 
-    parts = [shadow, diffuse, jnp.zeros((TILE, 3), jnp.float32)]
+    parts = [shadow, diffuse, jnp.zeros((tile, 3), jnp.float32)]
     if cfield > 4 * nb:                                  # specular group raw
         parts.append(tap[:, 4 * nb:cfield])
     out = jnp.concatenate(parts, axis=1)
     out_ref[...] = out[:, :nout]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfield", "world_size", "voxel", "shadow_offset",
-                     "power_diffuse", "interpret", "cones_static"))
-def tap_tiles(gbuf: Array,                 # (ntiles*TILE, 24) tile-major
-              scalars: Array,              # (ntiles, 8) int32
-              light_mips: Tuple[Array, ...],   # (D, max(D,LBY), pad128(D))
-              field_mips: Tuple[Array, ...],   # (D,D,max(D,FBZ),pad128(C))
-              *, cfield: int, world_size: float, voxel: float,
-              shadow_offset: float, power_diffuse: int, cones_static,
-              interpret: bool = False) -> Array:
-    """Per-pixel (shadow, diffuse rgba, raw specular per-basis vec4s).
-
-    light_mips/field_mips must come from pack_light_mips/pack_field_mips;
-    cfield is the LOGICAL field channel count (the packed arrays carry it
-    zero-padded to a LANE multiple); cones_static: (cone_dirs, cone_weights,
-    basis) as nested tuples (hashable static arg); returns
-    (ntiles*TILE, 8 + [4*nb]) f32.
-    """
+def _tap_pallas(statics, gbuf, scalars, light_mips, field_mips) -> Array:
+    """The raw pallas_call; statics = (cfield, world_size, voxel,
+    shadow_offset, power_diffuse, cones_static, interpret, tile)."""
+    (cfield, world_size, voxel, shadow_offset, power_diffuse,
+     cones_static, interpret, tile) = statics
     cone_dirs = np.asarray(cones_static[0], np.float32)
     cone_weights = np.asarray(cones_static[1], np.float32)
     basis = np.asarray(cones_static[2], np.float32)
     assert power_diffuse & (power_diffuse - 1) == 0, power_diffuse
     n = gbuf.shape[0]
-    ntiles = n // TILE
-    assert n % TILE == 0
+    ntiles = n // tile
+    assert n % tile == 0
     cpad = field_mips[0].shape[-1]
     assert cpad == _ceil_to(cfield, LANE), (cpad, cfield)
     nb = basis.shape[0]
@@ -443,7 +430,7 @@ def tap_tiles(gbuf: Array,                 # (ntiles*TILE, 24) tile-major
         shadow_offset=shadow_offset, light_dims=light_dims,
         light_zs=light_zs, field_dims=field_dims, cone_dirs=cone_dirs,
         cone_weights=cone_weights, nb=nb, power_diffuse=power_diffuse,
-        nout=nout)
+        nout=nout, tile=tile)
 
     def _whole(i, s):
         return (0, 0)
@@ -452,7 +439,7 @@ def tap_tiles(gbuf: Array,                 # (ntiles*TILE, 24) tile-major
         num_scalar_prefetch=1,
         grid=(ntiles,),
         in_specs=(
-            [pl.BlockSpec((TILE, gbuf.shape[1]), lambda i, s: (i, 0),
+            [pl.BlockSpec((tile, gbuf.shape[1]), lambda i, s: (i, 0),
                           memory_space=pltpu.VMEM),
              pl.BlockSpec((BRICK_L * LBY, BRICK_L), _whole,
                           memory_space=pltpu.VMEM),
@@ -468,7 +455,7 @@ def tap_tiles(gbuf: Array,                 # (ntiles*TILE, 24) tile-major
             + [pl.BlockSpec(memory_space=pl.ANY)] * len(light_mips)
             + [pl.BlockSpec(memory_space=pl.ANY)] * len(field_mips)
         ),
-        out_specs=pl.BlockSpec((TILE, nout), lambda i, s: (i, 0),
+        out_specs=pl.BlockSpec((tile, nout), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, BRICK_L, LBY, lzb), jnp.bfloat16),
@@ -488,3 +475,132 @@ def tap_tiles(gbuf: Array,                 # (ntiles*TILE, 24) tile-major
     )(scalars.T, gbuf, jnp.asarray(foldx), jnp.asarray(basis.T),
       jnp.asarray(sel), jnp.asarray(ex), jnp.asarray(ey), jnp.asarray(ez),
       jnp.asarray(ed), *light_mips, *field_mips)
+
+
+# ---------------------------------------------------------------------------
+# differentiable reference + custom VJP
+# ---------------------------------------------------------------------------
+
+def tap_tiles_ref(gbuf: Array, scalars: Array, light_mips, field_mips,
+                  *, cfield: int, world_size: float, voxel: float,
+                  shadow_offset: float, power_diffuse: int, cones_static,
+                  tile: int = TILE) -> Array:
+    """Pure-jnp mirror of the tap kernel's semantics: per-tile mip-level
+    trilinear taps + in-kernel diffuse basis weighting — float32, fully
+    differentiable.  Serves as (a) the oracle tests compare the kernel
+    against and (b) the linearization point for the kernel's custom VJP
+    (the taps are linear in the volumes, so the ref's VJP is exact for
+    them regardless of the kernel's bf16 forward rounding)."""
+    from vct_tpu.core import grid as G
+
+    n = gbuf.shape[0]
+    ntiles = n // tile
+    cone_dirs = jnp.asarray(cones_static[0], jnp.float32)
+    cone_w = jnp.asarray(cones_static[1], jnp.float32)
+    basis = jnp.asarray(cones_static[2], jnp.float32)
+    nb = basis.shape[0]
+    nout = 8 + (cfield - 4 * nb if cfield > 4 * nb else 0)
+
+    pos = gbuf[:, 0:3]
+    normal = gbuf[:, 3:6]
+    geo = gbuf[:, 6:9]
+    tangent = gbuf[:, 9:12]
+    bitan = gbuf[:, 12:15]
+    uvw_l = G.world_to_uvw(pos + geo * (voxel * shadow_offset), world_size)
+    uvw_f = G.world_to_uvw(pos + normal * voxel, world_size)
+    lvl_l = jnp.repeat(scalars[:, 0], tile)
+    lvl_f = jnp.repeat(scalars[:, 4], tile)
+
+    shadow = jnp.zeros((n,), jnp.float32)
+    for li, m in enumerate(light_mips):
+        d = m.shape[0]
+        vol = m[:, :d, :d].astype(jnp.float32)[..., None]
+        s = G.trilinear_sample(vol, uvw_l)[..., 0]
+        shadow = jnp.where(lvl_l == li, s, shadow)
+
+    tap = jnp.zeros((n, cfield), jnp.float32)
+    for fi, m in enumerate(field_mips):
+        d = m.shape[0]
+        vol = m[:, :, :d, :cfield].astype(jnp.float32)
+        s = G.trilinear_sample(vol, uvw_f)
+        tap = jnp.where((lvl_f == fi)[:, None], s, tap)
+
+    # diffuse basis weighting — the kernel's exact math (fs:175,198)
+    dw = jnp.zeros((n, nb), jnp.float32)
+    for ck in range(cone_dirs.shape[0]):
+        cd = cone_dirs[ck]
+        dvec = tangent * cd[0] + bitan * cd[1] + normal * cd[2]
+        dvec = dvec * jax.lax.rsqrt(jnp.maximum(
+            jnp.sum(dvec * dvec, axis=1, keepdims=True), 1e-24))
+        wp = jnp.maximum(dvec @ basis.T, 0.0)
+        for _ in range(int(np.log2(power_diffuse))):
+            wp = wp * wp
+        wp = wp / jnp.maximum(jnp.sum(wp, axis=1, keepdims=True), 1e-8)
+        dw = dw + cone_w[ck] * wp
+    diffuse = jnp.einsum("nb,nbc->nc", dw, tap[:, :4 * nb].reshape(n, nb, 4))
+
+    parts = [shadow[:, None], diffuse, jnp.zeros((n, 3), jnp.float32)]
+    if cfield > 4 * nb:
+        parts.append(tap[:, 4 * nb:cfield])
+    return jnp.concatenate(parts, axis=1)[:, :nout]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _tap_call(statics, gbuf, scalars, light_mips, field_mips):
+    return _tap_pallas(statics, gbuf, scalars, light_mips, field_mips)
+
+
+def _tap_fwd(statics, gbuf, scalars, light_mips, field_mips):
+    out = _tap_pallas(statics, gbuf, scalars, light_mips, field_mips)
+    return out, (gbuf, scalars, light_mips, field_mips)
+
+
+def _tap_bwd(statics, res, bar):
+    gbuf, scalars, light_mips, field_mips = res
+    (cfield, world_size, voxel, shadow_offset, power_diffuse,
+     cones_static, _interpret, tile) = statics
+
+    def ref(g, lm, fm):
+        return tap_tiles_ref(
+            g, scalars, lm, fm, cfield=cfield, world_size=world_size,
+            voxel=voxel, shadow_offset=shadow_offset,
+            power_diffuse=power_diffuse, cones_static=cones_static,
+            tile=tile)
+
+    _, vjp = jax.vjp(ref, gbuf, light_mips, field_mips)
+    dg, dlm, dfm = vjp(bar)
+    dscal = np.zeros(scalars.shape, jax.dtypes.float0)
+    return dg, dscal, dlm, dfm
+
+
+_tap_call.defvjp(_tap_fwd, _tap_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfield", "world_size", "voxel", "shadow_offset",
+                     "power_diffuse", "interpret", "cones_static", "tile"))
+def tap_tiles(gbuf: Array,                 # (ntiles*tile, 24) tile-major
+              scalars: Array,              # (ntiles, 8) int32
+              light_mips: Tuple[Array, ...],   # (D, max(D,LBY), pad128(D))
+              field_mips: Tuple[Array, ...],   # (D,D,max(D,FBZ),pad128(C))
+              *, cfield: int, world_size: float, voxel: float,
+              shadow_offset: float, power_diffuse: int, cones_static,
+              interpret: bool = False, tile: int = TILE) -> Array:
+    """Per-pixel (shadow, diffuse rgba, raw specular per-basis vec4s).
+
+    light_mips/field_mips must come from pack_light_mips/pack_field_mips;
+    cfield is the LOGICAL field channel count (the packed arrays carry it
+    zero-padded to a LANE multiple); cones_static: (cone_dirs, cone_weights,
+    basis) as nested tuples (hashable static arg); returns
+    (ntiles*tile, 8 + [4*nb]) f32.
+
+    Differentiable: reverse-mode gradients to gbuf and BOTH volume mip
+    stacks flow through the exact jnp reference (tap_tiles_ref) via a
+    custom VJP — the inverse-rendering camera pass runs this kernel.
+    """
+    assert power_diffuse & (power_diffuse - 1) == 0, power_diffuse
+    statics = (cfield, world_size, voxel, shadow_offset, int(power_diffuse),
+               cones_static, interpret, tile)
+    return _tap_call(statics, gbuf, scalars, tuple(light_mips),
+                     tuple(field_mips))

@@ -46,7 +46,11 @@ from vct_tpu.scene import textures as TX
 
 Array = jax.Array
 
-TS = 16   # image tile side; TS*TS == tap_pallas.TILE
+TSY = 16  # image tile rows
+TSX = 16  # image tile cols; TSY*TSX = pixels per tap-kernel tile (the
+          # kernel is per-step-overhead-bound, so wider tiles amortize it;
+          # footprint-driven level selection keeps taps correct either way)
+TS = TSY  # back-compat alias (row padding granularity)
 
 
 @jax.tree_util.register_dataclass
@@ -94,16 +98,16 @@ def build_frame_tables(cfg: VCTConfig, voxels: VoxelState,
 
 
 def _tile_order(img: Array, hp: int, wp: int) -> Array:
-    """(H', W', ...) -> tile-major (ntiles*TILE, ...)."""
+    """(H', W', ...) -> tile-major (ntiles*TSY*TSX, ...)."""
     c = img.shape[2:]
-    x = img.reshape((hp // TS, TS, wp // TS, TS) + c)
+    x = img.reshape((hp // TSY, TSY, wp // TSX, TSX) + c)
     x = jnp.moveaxis(x, 2, 1)
-    return x.reshape((hp // TS * (wp // TS) * TS * TS,) + c)
+    return x.reshape((hp // TSY * (wp // TSX) * TSY * TSX,) + c)
 
 
 def _untile(flat: Array, hp: int, wp: int) -> Array:
     c = flat.shape[1:]
-    x = flat.reshape((hp // TS, wp // TS, TS, TS) + c)
+    x = flat.reshape((hp // TSY, wp // TSX, TSY, TSX) + c)
     x = jnp.moveaxis(x, 2, 1)
     return x.reshape((hp, wp) + c)
 
@@ -129,8 +133,8 @@ def render_frame(cfg: VCTConfig,
                  interpret: bool = False) -> Array:
     """Full camera pass -> (H, W, 3) linear RGB."""
     h, w = dirs.shape[:2]
-    hp = -(-h // TS) * TS
-    wp = -(-w // TS) * TS
+    hp = -(-h // TSY) * TSY
+    wp = -(-w // TSX) * TSX
     if light_dir is None:
         light_dir = jnp.asarray(cfg.light.direction, jnp.float32)
         light_dir = light_dir / jnp.linalg.norm(light_dir)
@@ -139,17 +143,28 @@ def render_frame(cfg: VCTConfig,
     d = _tile_order(d, hp, wp)                             # (N, 3)
     origin = origins.reshape(-1, 3)[0]
 
-    # 1. raycast
-    isect, attrs, _ = RP.pack_tables(ds, origin, mats.albedo, mats.specular)
-    g = RP.raycast_gbuf24(d, origin, isect, attrs, interpret=interpret)
+    # 1. raycast — whole-table VMEM kernel for small scenes, streamed
+    # triangle chunks with per-tile cone culling at Sponza scale
+    if ds.v0.shape[0] <= 2 * RP.TCHUNK:
+        isect, attrs, _ = RP.pack_tables(ds, origin, mats.albedo,
+                                         mats.specular, mats.shininess)
+        g = RP.raycast_gbuf24(d, origin, isect, attrs, interpret=interpret)
+    else:
+        isect, attrsT, spheres, _ = RP.pack_tables_stream(
+            ds, origin, mats.albedo, mats.specular, mats.shininess)
+        nrt = d.shape[0] // RP.TILE
+        lists, counts = RP.select_chunks(d.reshape(nrt, RP.TILE, 3), spheres)
+        g = RP.raycast_stream(d, origin, isect, attrsT, lists, counts,
+                              interpret=interpret)
 
     # 2. per-tile brick selection
-    ntiles = g.shape[0] // TP.TILE
+    tile = TSY * TSX
+    ntiles = g.shape[0] // tile
     voxel = cfg.grid.voxel_world_size
     ws = cfg.grid.world_size
 
     def tiled(x):
-        return x.reshape((ntiles, TP.TILE) + x.shape[1:])
+        return x.reshape((ntiles, tile) + x.shape[1:])
 
     pos = g[:, 0:3]
     nrm = g[:, 3:6]
@@ -174,7 +189,7 @@ def render_frame(cfg: VCTConfig,
         cfield=cfield, world_size=ws, voxel=voxel,
         shadow_offset=cfg.shadow.normal_offset,
         power_diffuse=int(cfg.cones.basis_power_diffuse),
-        cones_static=_cones_static(cfg), interpret=interpret)
+        cones_static=_cones_static(cfg), interpret=interpret, tile=tile)
     shadow = taps[:, 0]
     ind_d_rgb = taps[:, 1:4]
     ind_d_occ = taps[:, 4]
@@ -211,7 +226,7 @@ def render_frame(cfg: VCTConfig,
         light_dir=light_dir, eye_dir=eye, shadow=shadow,
         ind_diffuse_rgb=ind_d_rgb, ind_diffuse_occ=ind_d_occ,
         ind_spec_rgb=ind_s_rgb, ind_spec_occ=ind_s_occ,
-        shininess=cfg.render.shininess)
+        shininess=g[:, 27])
     bg = jnp.asarray(cfg.render.background, rgb.dtype)
     visible = hit & (albedo4[:, 3] >= cfg.render.alpha_threshold)
     rgb = jnp.where(visible[:, None], rgb, bg)

@@ -70,20 +70,46 @@ class DeviceScene:
     material: Array      # (T,) int32
 
     @staticmethod
-    def from_scene(scene: Scene, dtype=jnp.float32) -> "DeviceScene":
+    def from_scene(scene: Scene, dtype=jnp.float32,
+                   morton_sort: bool = True) -> "DeviceScene":
         tv = scene.triangle_vertices()
         idx = scene.indices
+        order = slice(None)
+        if morton_sort:
+            # spatially-compact triangle order: CHUNK-sized runs get tight
+            # bounding spheres for the streamed raycast's chunk culling
+            # (ops/raycast_pallas.select_chunks)
+            order = _morton_order(tv.mean(axis=1))
         return DeviceScene(
-            v0=jnp.asarray(tv[:, 0], dtype),
-            e1=jnp.asarray(tv[:, 1] - tv[:, 0], dtype),
-            e2=jnp.asarray(tv[:, 2] - tv[:, 0], dtype),
-            vn=jnp.asarray(scene.normals[idx], dtype),
-            vt=jnp.asarray(scene.tangents[idx], dtype),
-            vb=jnp.asarray(scene.bitangents[idx], dtype),
-            vuv=jnp.asarray(scene.uvs[idx], dtype),
-            face_normal=jnp.asarray(scene.face_normals(), dtype),
-            material=jnp.asarray(scene.tri_material, jnp.int32),
+            v0=jnp.asarray(tv[order, 0], dtype),
+            e1=jnp.asarray(tv[order, 1] - tv[order, 0], dtype),
+            e2=jnp.asarray(tv[order, 2] - tv[order, 0], dtype),
+            vn=jnp.asarray(scene.normals[idx][order], dtype),
+            vt=jnp.asarray(scene.tangents[idx][order], dtype),
+            vb=jnp.asarray(scene.bitangents[idx][order], dtype),
+            vuv=jnp.asarray(scene.uvs[idx][order], dtype),
+            face_normal=jnp.asarray(scene.face_normals()[order], dtype),
+            material=jnp.asarray(scene.tri_material[order], jnp.int32),
         )
+
+
+def _morton_order(centroids: np.ndarray) -> np.ndarray:
+    """Stable argsort of 30-bit 3D Morton codes of the centroids."""
+    c = np.asarray(centroids, np.float64)
+    lo = c.min(axis=0)
+    ext = np.maximum(c.max(axis=0) - lo, 1e-12)
+    q = np.clip((c - lo) / ext * 1023.0, 0, 1023).astype(np.uint64)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    code = ((spread(q[:, 0]) << np.uint64(2))
+            | (spread(q[:, 1]) << np.uint64(1)) | spread(q[:, 2]))
+    return np.argsort(code, kind="stable")
 
 
 def _intersect_chunk(origins: Array, dirs: Array, ds: DeviceScene,

@@ -57,6 +57,7 @@ class MaterialTable:
     albedo: Array      # (M, 4)
     specular: Array    # (M, 3)
     emissive: Array    # (M, 3)
+    shininess: Array   # (M,) Phong exponent (MTL Ns; Mesh.h:86 default 20)
     atlas: Optional[TX.TextureAtlas] = None
 
     @staticmethod
@@ -70,6 +71,8 @@ class MaterialTable:
             albedo=jnp.asarray([m.albedo for m in scene.materials], dtype),
             specular=jnp.asarray([m.specular for m in scene.materials], dtype),
             emissive=jnp.asarray([m.emissive for m in scene.materials], dtype),
+            shininess=jnp.asarray([m.shininess for m in scene.materials],
+                                  dtype),
             atlas=atlas,
         )
 
@@ -466,7 +469,9 @@ def shade_gbuffer(
         ind_diffuse_occ=ind_d_occ,
         ind_spec_rgb=ind_s_rgb,
         ind_spec_occ=ind_s_occ,
-        shininess=cfg.render.shininess,
+        # per-material Phong exponent (scene/obj.py reads MTL Ns); the
+        # reference hardcodes 20 for every mesh (Mesh.h:86)
+        shininess=mats.shininess[gbuf.material],
     )
     # alpha-mask discard (fs:169-172) + miss -> background
     bg = jnp.asarray(cfg.render.background, rgb.dtype)

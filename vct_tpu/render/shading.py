@@ -280,7 +280,7 @@ def combine(
     ind_diffuse_occ: Array,      # (...,)
     ind_spec_rgb: Array,         # (..., 3)
     ind_spec_occ: Array,         # (...,)
-    shininess: float,
+    shininess,                   # float or (...,) per-pixel Phong exponent
 ) -> Array:
     n = C.normalize(normal)
     l = light_dir
@@ -302,7 +302,8 @@ def combine(
     # reflect(-L, N) = 2*dot(N,L)*N - L   (GLSL reflect(I,N) = I - 2 dot(N,I) N)
     spec_reflect = C.normalize(
         2.0 * jnp.sum(n * l, axis=-1, keepdims=True) * n - l)
-    spec = jnp.maximum(jnp.sum(e * spec_reflect, axis=-1), 0.0) ** shininess
+    spec = jnp.maximum(jnp.sum(e * spec_reflect, axis=-1), 0.0) \
+        ** jnp.asarray(shininess)
     direct_specular = spec * shadow
     if not cfg.render.show_specular:
         direct_specular = jnp.zeros_like(direct_specular)

@@ -174,3 +174,50 @@ def merge_scenes(scenes: List[Scene]) -> Scene:
         uvs=np.concatenate(uv), tangents=np.concatenate(tan),
         bitangents=np.concatenate(bit), indices=np.concatenate(idx),
         tri_material=np.concatenate(mat), materials=materials)
+
+
+def subdivide_scene(scene: Scene, levels: int = 1) -> Scene:
+    """4-way midpoint subdivision, `levels` times: every triangle splits
+    into 4 via edge midpoints with linearly-interpolated attributes.  The
+    SURFACES ARE IDENTICAL — renders must match the input scene — so this
+    is both a triangle-count stress generator (Sponza-scale primary
+    visibility, Model.h:43: 1 level = 4x triangles) and a parity fixture
+    for the streamed raycast's culling.  Midpoint vertices are duplicated
+    per triangle (no welding — the renderer consumes triangle soup)."""
+    for _ in range(levels):
+        idx = scene.indices
+        a, b, c = idx[:, 0], idx[:, 1], idx[:, 2]
+
+        def mid(x, renorm=False):
+            va, vb, vc = x[a], x[b], x[c]
+            mab = 0.5 * (va + vb)
+            mbc = 0.5 * (vb + vc)
+            mca = 0.5 * (vc + va)
+            out = np.concatenate([va, vb, vc, mab, mbc, mca])
+            if renorm:
+                n = np.linalg.norm(out, axis=-1, keepdims=True)
+                out = out / np.maximum(n, 1e-12)
+            return np.ascontiguousarray(out, np.float32)
+
+        t = idx.shape[0]
+        # new vertex layout: [A | B | C | AB | BC | CA], each length t
+        va, vb, vc = 0, t, 2 * t
+        ab, bc, ca = 3 * t, 4 * t, 5 * t
+        r = np.arange(t, dtype=np.int32)
+        new_idx = np.concatenate([
+            np.stack([va + r, ab + r, ca + r], axis=1),
+            np.stack([ab + r, vb + r, bc + r], axis=1),
+            np.stack([ca + r, bc + r, vc + r], axis=1),
+            np.stack([ab + r, bc + r, ca + r], axis=1),
+        ]).astype(np.int32)
+        scene = Scene(
+            positions=mid(scene.positions),
+            normals=mid(scene.normals, renorm=True),
+            uvs=mid(scene.uvs),
+            tangents=mid(scene.tangents, renorm=True),
+            bitangents=mid(scene.bitangents, renorm=True),
+            indices=new_idx,
+            tri_material=np.tile(scene.tri_material, 4).astype(np.int32),
+            materials=scene.materials,
+        )
+    return scene
