@@ -39,14 +39,23 @@ DIRS = np.asarray([
 DIRS = DIRS / np.linalg.norm(DIRS, axis=-1, keepdims=True)
 
 
+@pytest.fixture(scope="module")
+def march_pair(mesh4):
+    """One sharded + one replicated gather march, shared by the parity,
+    sharding-spec, and placement assertions (suite wall-time, VERDICT r2
+    weak #5)."""
+    ws, dim = 150.0, 32
+    mips = make_mips(dim, seed=1)
+    sched = M.march_schedule(0.577, ws / dim, 75.0, 12)
+    ref = D.directional_march_multi(mips, DIRS, sched, ws)
+    out = B.sharded_directional_march_multi(
+        mips, DIRS, sched, ws, mesh4, min_shard_rows=4)
+    return ref, out
+
+
 class TestShardedMarchParity:
-    def test_gather_march_matches_replicated(self, mesh4):
-        ws, dim = 150.0, 32
-        mips = make_mips(dim, seed=1)
-        sched = M.march_schedule(0.577, ws / dim, 75.0)
-        ref = D.directional_march_multi(mips, DIRS, sched, ws)
-        out = B.sharded_directional_march_multi(
-            mips, DIRS, sched, ws, mesh4, min_shard_rows=4)
+    def test_gather_march_matches_replicated(self, march_pair):
+        ref, out = march_pair
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-5)
 
@@ -67,7 +76,7 @@ class TestShardedMarchParity:
         ws, dim = 150.0, 32
         mips = make_mips(dim, seed=2)
         # wider shadow cone so level 0 shards at this toy size
-        sched = M.march_schedule(0.2, ws / dim, ws, step_factor=0.5)
+        sched = M.march_schedule(0.2, ws / dim, ws, 12, step_factor=0.5)
         dirv = np.asarray([[0.0, 0.97014254, 0.24253564]])
         ref = D.directional_march_multi(
             mips, dirv, sched, ws, opacity_gain=4.0, transmittance_only=True)
@@ -77,19 +86,15 @@ class TestShardedMarchParity:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-5)
 
-    def test_output_sharding(self, mesh4):
-        ws, dim = 150.0, 32
-        mips = make_mips(dim, seed=3)
-        sched = M.march_schedule(0.577, ws / dim, 75.0)
-        out = B.sharded_directional_march_multi(
-            mips, DIRS[:1], sched, ws, mesh4, min_shard_rows=4)
+    def test_output_sharding(self, march_pair):
+        _, out = march_pair
         spec = out.sharding.spec
         assert spec[1] == "model", spec
 
     def test_gradient_flows_through_halo_exchange(self, mesh4):
         ws, dim = 150.0, 16
         mips = make_mips(dim, seed=4)
-        sched = M.march_schedule(0.577, ws / dim, 75.0)
+        sched = M.march_schedule(0.577, ws / dim, 75.0, 8)
 
         def loss(lvl0):
             stack = (lvl0,) + tuple(mips[1:])
@@ -127,7 +132,8 @@ class TestRendererIntegration:
         cfg = dataclasses.replace(
             cfg,
             grid=dataclasses.replace(cfg.grid, dim=32, compute="float32"),
-            cones=dataclasses.replace(cfg.cones, field_dim=32),
+            cones=dataclasses.replace(cfg.cones, field_dim=32,
+                                      field_basis=6, num_diffuse_cones=2),
             sharding=dataclasses.replace(
                 cfg.sharding, data_parallel=8 // brick_parallel,
                 brick_parallel=brick_parallel),
@@ -136,15 +142,23 @@ class TestRendererIntegration:
         ds, mats, samples = R.prepare_scene(cfg, scene)
         return cfg, R, samples, mats
 
-    def test_build_voxel_state_sharded_matches_replicated(self):
+    @pytest.fixture(scope="class")
+    def builds(self):
+        """ONE sharded + ONE replicated + ONE staged build, shared by all
+        integration assertions (each build dominates wall time)."""
         import dataclasses
         cfg, R, samples, mats = self._setup(brick_parallel=4)
         mesh = meshlib.make_mesh_for(cfg)
         sharded = R.build_voxel_state(cfg, samples, mats, mesh=mesh)
+        staged = R.build_voxel_state_staged(cfg, samples, mats, mesh=mesh)
         cfg_rep = dataclasses.replace(
             cfg, sharding=dataclasses.replace(cfg.sharding,
                                               brick_parallel=1))
         rep = R.build_voxel_state(cfg_rep, samples, mats)
+        return sharded, staged, rep
+
+    def test_build_voxel_state_sharded_matches_replicated(self, builds):
+        sharded, _, rep = builds
         np.testing.assert_allclose(
             np.asarray(sharded.light_volume), np.asarray(rep.light_volume),
             rtol=2e-5, atol=2e-5)
@@ -155,20 +169,15 @@ class TestRendererIntegration:
             np.asarray(sharded.specular_field),
             np.asarray(rep.specular_field), rtol=2e-5, atol=2e-5)
 
-    def test_sharded_outputs_are_model_sharded(self):
-        cfg, R, samples, mats = self._setup(brick_parallel=4)
-        mesh = meshlib.make_mesh_for(cfg)
-        out = R.build_voxel_state(cfg, samples, mats, mesh=mesh)
-        spec = out.light_volume.sharding.spec
+    def test_sharded_outputs_are_model_sharded(self, builds):
+        sharded, _, _ = builds
+        spec = sharded.light_volume.sharding.spec
         assert "model" in str(spec), spec
 
-    def test_staged_build_matches(self):
-        cfg, R, samples, mats = self._setup(brick_parallel=2)
-        mesh = meshlib.make_mesh_for(cfg)
-        a = R.build_voxel_state(cfg, samples, mats, mesh=mesh)
-        b = R.build_voxel_state_staged(cfg, samples, mats, mesh=mesh)
-        np.testing.assert_allclose(np.asarray(a.diffuse_field),
-                                   np.asarray(b.diffuse_field),
+    def test_staged_build_matches(self, builds):
+        sharded, staged, _ = builds
+        np.testing.assert_allclose(np.asarray(sharded.diffuse_field),
+                                   np.asarray(staged.diffuse_field),
                                    rtol=1e-5, atol=1e-5)
 
     def test_anisotropic_raises(self):

@@ -123,6 +123,36 @@ def test_raycast_compiles_and_hits():
     assert np.isfinite(hits) and hits > 0.5, hits
 
 
+def test_raycast_stream_compiles_and_matches():
+    """The streamed chunk-culled kernel compiles for TPU and matches the
+    whole-table kernel bit-for-bit on a subdivided (multi-chunk) scene."""
+    from vct_tpu.config import preset
+    from vct_tpu.core import camera as cameralib
+    from vct_tpu.ops import raycast_pallas as RP
+    from vct_tpu.render import renderer as R
+    from vct_tpu.scene import atrium
+    from vct_tpu.scene.mesh import subdivide_scene
+
+    cfg = preset("sponza256")
+    scene = subdivide_scene(atrium(), 2)        # ~18k tris, ~70 chunks
+    ds, mats, _ = R.prepare_scene(cfg, scene)
+    camera = cameralib.Camera(position=(48.0, -10.0, 0.0), yaw=180.0)
+    origins, dirs = cameralib.primary_rays(camera, 128, 64)
+    origin = origins.reshape(-1, 3)[0]
+    d = dirs.reshape(-1, 3)
+    isect, attrsT, spheres, _ = RP.pack_tables_stream(
+        ds, origin, mats.albedo, mats.specular, mats.shininess)
+    nrt = d.shape[0] // RP.TILE
+    lists, counts = RP.select_chunks(d.reshape(nrt, RP.TILE, 3), spheres)
+    g = np.asarray(RP.raycast_stream(d, origin, isect, attrsT, lists,
+                                     counts))
+    io, ao, _ = RP.pack_tables(ds, origin, mats.albedo, mats.specular,
+                               mats.shininess)
+    g_old = np.asarray(RP.raycast_gbuf24(d, origin, io, ao))
+    assert np.all(np.isfinite(g))
+    np.testing.assert_allclose(g, g_old, rtol=1e-5, atol=1e-5)
+
+
 def test_fast_frame_compiles():
     """The full fast camera pass (raycast + select + taps + combine) runs
     end-to-end on hardware at a small frame size, 256^3-style mip chains."""

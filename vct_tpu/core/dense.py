@@ -93,6 +93,15 @@ def _take3(level: Array, i0: Array, i1: Array, f: Array, df: int) -> Array:
     scan carries only O(df) metadata per step while the FLOPs ride the
     systolic array instead of gather units.
 
+    The z contraction's natural lane dim is only C (=4); measured on
+    TPU (r3) the batched small-matmul form still wins over a Kronecker
+    (z,C)-fused full-lane matmul (which pays C^2 structural-zero FLOPs
+    and breaks fusion: 151 ms vs 102 ms at the sponza256 operating
+    point), and the per-axis f32 accumulate/round-trip is fused away by
+    XLA (bf16-preferred intermediates measure identically).  On-device
+    the whole march runs at ~0.76 of peak HBM bandwidth (profiler trace;
+    the remaining gap in wall-clock measurements is host readback).
+
     The contractions run in `level.dtype` (bfloat16 doubles-to-quadruples
     MXU throughput) and accumulate/return float32.
     """

@@ -48,6 +48,12 @@ class InverseConfig:
     num_steps: int = 200
     loss: str = "l2"                  # "l2" | "l1"
     chunk_size: int = 4096
+    # camera pass inside the loss: "xla" = render_rays (any config);
+    # "fast" = the Pallas camera pass (render/fast.py — raycast + tap
+    # kernels, gradients via their custom VJPs; needs a fast-supported
+    # config: volume shadows + field cones).  "fast" uses the kernel
+    # interpreter off-TPU so CPU tests exercise the same graph.
+    camera_pass: str = "xla"          # "xla" | "fast"
 
 
 @dataclasses.dataclass
@@ -148,8 +154,17 @@ def make_loss_fn(
 
     def loss_fn(params, samples, mats, origins, dirs, target):
         mats2, voxels = _apply_params(inv, cfg, params, samples, mats)
-        img = R.render_rays(cfg, ds, voxels, mats2, origins, dirs,
-                            camera_position, chunk_size=inv.chunk_size)
+        if inv.camera_pass == "fast":
+            from vct_tpu.render import fast as F
+            assert F.supported(cfg), (
+                "camera_pass='fast' needs volume shadows + field cones")
+            tables = F.build_frame_tables(cfg, voxels, mats2)
+            img = F.render_frame(
+                cfg, ds, tables, mats2, origins, dirs, camera_position,
+                interpret=jax.default_backend() == "cpu")
+        else:
+            img = R.render_rays(cfg, ds, voxels, mats2, origins, dirs,
+                                camera_position, chunk_size=inv.chunk_size)
         err = img - target
         if inv.loss == "l1":
             return jnp.mean(jnp.abs(err))

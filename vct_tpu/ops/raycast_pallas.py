@@ -129,9 +129,11 @@ def _kernel(dirs_ref, o_ref, isect_ref, attrs_ref, out_ref, *, tp: int,
         s = jnp.sign(det)
         ad = jnp.abs(det)
         sk = s * kk
+        inv = 1.0 / jnp.maximum(ad, eps)
+        sinv = s * inv
         valid = ((ad > eps) & (s * ud >= 0) & (s * vd >= 0)
                  & (s * (ud + vd) <= ad) & (sk > tmin_eps * ad))
-        tval = sk / jnp.maximum(ad, eps)
+        tval = kk * sinv
         tcand = jnp.where(valid, tval, _BIG)          # (TILE, TCHUNK)
 
         # first-min winner within the chunk (argmin semantics)
@@ -142,9 +144,8 @@ def _kernel(dirs_ref, o_ref, isect_ref, attrs_ref, out_ref, *, tp: int,
         onehot = ((lanes == idx_c) & (tmin_c < _BIG)).astype(jnp.float32)
 
         # winner's u, v and attribute row via the one-hot
-        inv = 1.0 / jnp.maximum(ad, eps)
-        u_c = jnp.sum(onehot * ud * s * inv, axis=1, keepdims=True)
-        v_c = jnp.sum(onehot * vd * s * inv, axis=1, keepdims=True)
+        u_c = jnp.sum(onehot * (ud * sinv), axis=1, keepdims=True)
+        v_c = jnp.sum(onehot * (vd * sinv), axis=1, keepdims=True)
         arow = jax.lax.dot_general(
             onehot, at, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)       # (TILE, NATTR)
@@ -213,18 +214,19 @@ def raycast_ref(dirs: Array, origin: Array, isect: Array,
     s = jnp.sign(det)
     ad = jnp.abs(det)
     sk = s * kk
+    inv = 1.0 / jnp.maximum(ad, eps)
+    sinv = s * inv
     valid = ((ad > eps) & (s * ud >= 0) & (s * vd >= 0)
              & (s * (ud + vd) <= ad) & (sk > tmin_eps * ad))
-    tval = sk / jnp.maximum(ad, eps)
+    tval = kk * sinv
     tcand = jnp.where(valid, tval, _BIG)
     tbest = jnp.min(tcand, axis=1, keepdims=True)
     lanes = jnp.arange(tp)[None, :]
     idx = jnp.min(jnp.where(tcand == tbest, lanes, tp), axis=1,
                   keepdims=True)
     onehot = ((lanes == idx) & (tbest < _BIG)).astype(jnp.float32)
-    inv = 1.0 / jnp.maximum(ad, eps)
-    u_c = jnp.sum(onehot * ud * s * inv, axis=1, keepdims=True)
-    v_c = jnp.sum(onehot * vd * s * inv, axis=1, keepdims=True)
+    u_c = jnp.sum(onehot * (ud * sinv), axis=1, keepdims=True)
+    v_c = jnp.sum(onehot * (vd * sinv), axis=1, keepdims=True)
     arow = onehot @ attrs                          # (N, NATTR)
     g = jnp.concatenate([u_c, v_c, jnp.zeros_like(u_c), arow], axis=1)
 
@@ -323,7 +325,8 @@ def _raycast_pallas(dirs: Array, origin: Array, isect: Array, attrs: Array,
 # fori, computing exactly the whole-table kernel's math per chunk.
 # ---------------------------------------------------------------------------
 
-CHUNK = 256             # triangles per streamed chunk (lane-aligned: 2x128)
+CHUNK = 512             # triangles per streamed chunk (lane-aligned: 4x128; 256
+                        # measured 4x slower per-chunk on TPU r3)
 
 
 def pack_tables_stream(ds: DeviceScene, origin: Array,
@@ -403,15 +406,25 @@ def select_chunks(dirs: Array, spheres: Array) -> Tuple[Array, Array]:
     dist = cos_a[:, None] * perp - sin_a[:, None] * along
     keep = (dist <= r[None, :]) & (along >= -r[None, :])
     counts = jnp.sum(keep, axis=1).astype(jnp.int32)
-    order = jnp.cumsum(keep, axis=1) - 1
-    order = jnp.where(keep, order, nchunk)                      # drop slot
-    rows = jnp.broadcast_to(jnp.arange(nrt)[:, None], (nrt, nchunk))
-    cis = jnp.broadcast_to(jnp.arange(nchunk)[None, :], (nrt, nchunk))
+
+    # FRONT-TO-BACK: surviving chunks sorted by conservative near
+    # distance (|c| - r, floored to int and packed into bits 16..30 of
+    # the list word) so the kernel can STOP once every ray's best hit is
+    # closer than the next chunk's near bound — the voxel-cone analogue
+    # of front-to-back traversal with occlusion termination.
+    near = jnp.maximum(jnp.sqrt(jnp.maximum(vv, 0.0)) - r[None, :], 0.0)
+    near_q = jnp.clip(jnp.floor(near), 0, 32766).astype(jnp.int32)
+    sort_key = jnp.where(keep, near_q, jnp.int32(2 ** 30))
+    order = jnp.argsort(sort_key, axis=1, stable=True)          # (nrt, nck)
+    cis = jnp.broadcast_to(jnp.arange(nchunk, dtype=jnp.int32)[None, :],
+                           (nrt, nchunk))
+    words = cis | (near_q << 16)
+    sorted_words = jnp.take_along_axis(
+        jnp.where(keep, words, 0), order, axis=1)
     # lane dim padded to a 128-multiple: the kernel DMAs one lists row per
     # tile, and Mosaic requires 128-aligned lane extents on sliced copies
     ncp = -(-nchunk // 128) * 128
-    lists = jnp.zeros((nrt, ncp), jnp.int32).at[rows, order].set(
-        cis, mode="drop")
+    lists = jnp.zeros((nrt, ncp), jnp.int32).at[:, :nchunk].set(sorted_words)
     pad_r = (-nrt) % 8       # kernel copies 8-row groups (sublane-aligned)
     if pad_r:
         lists = jnp.concatenate(
@@ -421,7 +434,8 @@ def select_chunks(dirs: Array, spheres: Array) -> Tuple[Array, Array]:
 
 def _stream_kernel(counts_ref,              # (nrt,) int32 prefetch
                    dirs_ref, o_ref, lists_ref, isect_ref, attrsT_ref,
-                   out_ref, listbuf, ibuf, abuf, lsem, isem, asem,
+                   out_ref, listbuf, tb_ref, gb_ref,
+                   ibuf, abuf, lsem, isem, asem,
                    *, nchunk: int, eps: float, tmin_eps: float):
     d = dirs_ref[...]                       # (TILE, 3)
     i = pl.program_id(0)
@@ -435,7 +449,7 @@ def _stream_kernel(counts_ref,              # (nrt,) int32 prefetch
     row = i % 8
 
     def chunk_dma(j, slot):
-        ci = listbuf[row, j]
+        ci = listbuf[row, j] & 0xFFFF       # low 16 bits: chunk id
         base = pl.multiple_of(ci * CHUNK, CHUNK)
         pltpu.make_async_copy(
             isect_ref.at[:, pl.ds(base, CHUNK)], ibuf.at[slot],
@@ -444,68 +458,92 @@ def _stream_kernel(counts_ref,              # (nrt,) int32 prefetch
             attrsT_ref.at[:, pl.ds(base, CHUNK)], abuf.at[slot],
             asem.at[slot]).start()
 
+    tb_ref[...] = jnp.full((TILE, 1), _BIG, jnp.float32)
+    gb_ref[...] = jnp.zeros((TILE, NATTR + 3), jnp.float32)
+
     @pl.when(cnt > 0)
     def _():
         chunk_dma(0, 0)
 
-    def body(j, carry):
-        tbest, gbest = carry                # (TILE,1), (TILE,NATTR+3)
-        slot = jax.lax.rem(j, 2)
+    # Lists are FRONT-TO-BACK (select_chunks sorts by the conservative
+    # near distance packed in bits 16+).  Once every ray's current best
+    # is strictly closer than the next chunk's near bound, no later
+    # chunk can win (near is non-decreasing) — stop, skipping both the
+    # compute and the DMA.  Invariant: chunk j's DMA was issued iff the
+    # loop reaches j un-stopped.
+    def body(j, stop):
+        @pl.when(jnp.logical_not(stop))
+        def _():
+            slot = jax.lax.rem(j, 2)
+            pltpu.make_async_copy(ibuf.at[slot], ibuf.at[slot],
+                                  isem.at[slot]).wait()
+            pltpu.make_async_copy(abuf.at[slot], abuf.at[slot],
+                                  asem.at[slot]).wait()
+            blk = ibuf[slot]                          # (16, CHUNK)
+            at = abuf[slot]                           # (NATTR, CHUNK)
+            kk = blk[9:10, :]
 
-        @pl.when(j + 1 < cnt)
+            def dot3(rows):
+                return jax.lax.dot_general(
+                    d, rows, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            det = dot3(blk[0:3, :])
+            ud = dot3(blk[3:6, :])
+            vd = dot3(blk[6:9, :])
+            s = jnp.sign(det)
+            ad = jnp.abs(det)
+            sk = s * kk
+            inv = 1.0 / jnp.maximum(ad, eps)
+            sinv = s * inv
+            valid = ((ad > eps) & (s * ud >= 0) & (s * vd >= 0)
+                     & (s * (ud + vd) <= ad) & (sk > tmin_eps * ad))
+            tval = kk * sinv
+            tcand = jnp.where(valid, tval, _BIG)      # (TILE, CHUNK)
+
+            tmin_c = jnp.min(tcand, axis=1, keepdims=True)
+            tbest = tb_ref[...]
+            better = tmin_c < tbest
+            improved = jnp.any(better)
+
+            # winner extraction only when this chunk beat something —
+            # with front-to-back lists most chunks improve nothing, so
+            # the one-hot/select/attr-fetch cost is skipped
+            @pl.when(improved)
+            def _():
+                lanes = jax.lax.broadcasted_iota(
+                    jnp.int32, tcand.shape, 1)
+                idx_c = jnp.min(jnp.where(tcand == tmin_c, lanes, CHUNK),
+                                axis=1, keepdims=True)
+                onehot = ((lanes == idx_c)
+                          & (tmin_c < _BIG)).astype(jnp.float32)
+                u_c = jnp.sum(onehot * (ud * sinv), axis=1, keepdims=True)
+                v_c = jnp.sum(onehot * (vd * sinv), axis=1, keepdims=True)
+                arow = jax.lax.dot_general(
+                    onehot, at, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (TILE, NATTR)
+                gcand = jnp.concatenate(
+                    [u_c, v_c, jnp.zeros_like(u_c), arow], axis=1)
+                # strict < keeps the EARLIER list entry's winner on exact
+                # t ties; within a chunk the lane argmin is first-index —
+                # equal-t resolution follows list order (near-sorted)
+                tb_ref[...] = jnp.where(better, tmin_c, tbest)
+                gb_ref[...] = jnp.where(better, gcand, gb_ref[...])
+
+        # stop as soon as the NEXT chunk's near bound beats every ray
+        jn = jnp.minimum(j + 1, nchunk - 1)
+        near_next = jax.lax.shift_right_logical(
+            listbuf[row, jn], 16).astype(jnp.float32)
+        tmax = jnp.max(tb_ref[...])
+        stop2 = stop | (near_next >= tmax)
+
+        @pl.when((j + 1 < cnt) & jnp.logical_not(stop2))
         def _():
             chunk_dma(j + 1, jax.lax.rem(j + 1, 2))
 
-        pltpu.make_async_copy(ibuf.at[slot], ibuf.at[slot],
-                              isem.at[slot]).wait()
-        pltpu.make_async_copy(abuf.at[slot], abuf.at[slot],
-                              asem.at[slot]).wait()
-        blk = ibuf[slot]                              # (16, CHUNK)
-        at = abuf[slot]                               # (NATTR, CHUNK)
-        kk = blk[9:10, :]
+        return stop2
 
-        def dot3(rows):
-            return jax.lax.dot_general(
-                d, rows, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        det = dot3(blk[0:3, :])
-        ud = dot3(blk[3:6, :])
-        vd = dot3(blk[6:9, :])
-        s = jnp.sign(det)
-        ad = jnp.abs(det)
-        sk = s * kk
-        valid = ((ad > eps) & (s * ud >= 0) & (s * vd >= 0)
-                 & (s * (ud + vd) <= ad) & (sk > tmin_eps * ad))
-        tval = sk / jnp.maximum(ad, eps)
-        tcand = jnp.where(valid, tval, _BIG)          # (TILE, CHUNK)
-
-        tmin_c = jnp.min(tcand, axis=1, keepdims=True)
-        lanes = jax.lax.broadcasted_iota(jnp.int32, tcand.shape, 1)
-        idx_c = jnp.min(jnp.where(tcand == tmin_c, lanes, CHUNK),
-                        axis=1, keepdims=True)
-        onehot = ((lanes == idx_c) & (tmin_c < _BIG)).astype(jnp.float32)
-
-        inv = 1.0 / jnp.maximum(ad, eps)
-        u_c = jnp.sum(onehot * ud * s * inv, axis=1, keepdims=True)
-        v_c = jnp.sum(onehot * vd * s * inv, axis=1, keepdims=True)
-        arow = jax.lax.dot_general(
-            onehot, at, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (TILE, NATTR)
-        gcand = jnp.concatenate([u_c, v_c, jnp.zeros_like(u_c), arow],
-                                axis=1)
-
-        # strict < keeps the EARLIER chunk's winner on exact t ties, and
-        # chunk ids are ascending in the list — argmin-first semantics
-        # across the whole (Morton-sorted) table, matching pack order
-        better = tmin_c < tbest
-        return (jnp.where(better, tmin_c, tbest),
-                jnp.where(better, gcand, gbest))
-
-    tbest0 = jnp.full((TILE, 1), _BIG, jnp.float32)
-    gbest0 = jnp.zeros((TILE, NATTR + 3), jnp.float32)
-    tbest, g = jax.lax.fori_loop(0, cnt, body, (tbest0, gbest0))
-
-    out_ref[...] = _finish_gbuf(d, o_ref, tbest, g)
+    jax.lax.fori_loop(0, cnt, body, False)
+    out_ref[...] = _finish_gbuf(d, o_ref, tb_ref[...], gb_ref[...])
 
 
 def _finish_gbuf(d, o_ref, tbest, g):
@@ -570,14 +608,16 @@ def raycast_stream(dirs: Array, origin: Array, isect: Array, attrsT: Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3), lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),     # lists (nrt, nchunk)
-            pl.BlockSpec(memory_space=pltpu.ANY),     # isect (16, Tp)
-            pl.BlockSpec(memory_space=pltpu.ANY),     # attrsT (NATTR, Tp)
+            pl.BlockSpec(memory_space=pl.ANY),     # lists (nrt, nchunk)
+            pl.BlockSpec(memory_space=pl.ANY),     # isect (16, Tp)
+            pl.BlockSpec(memory_space=pl.ANY),     # attrsT (NATTR, Tp)
         ],
         out_specs=pl.BlockSpec((TILE, NOUT), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((8, ncp), jnp.int32),
+            pltpu.VMEM((TILE, 1), jnp.float32),
+            pltpu.VMEM((TILE, NATTR + 3), jnp.float32),
             pltpu.VMEM((2, 16, CHUNK), jnp.float32),
             pltpu.VMEM((2, NATTR, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA,
