@@ -97,19 +97,8 @@ def main():
     sync(scal)
     timeit("brick-select prepass", lambda: sync(prepass(g)))
 
-    cfield = 4 * cfg.cones.field_basis * 2
-    taps_fn = lambda: TP.tap_tiles(
-        g, scal, tables.light_mips, tables.field_mips,
-        cfield=cfield, world_size=ws, voxel=voxel,
-        shadow_offset=cfg.shadow.normal_offset,
-        power_diffuse=int(cfg.cones.basis_power_diffuse),
-        cones_static=F._cones_static(cfg), tile=tile)
-    sync(taps_fn())
-    timeit("tap_tiles kernel", lambda: sync(taps_fn()))
-
     from vct_tpu.scene import textures as TX
     from vct_tpu.render import shading
-    from vct_tpu.core import dense as D
 
     @jax.jit
     def material(g):
@@ -121,38 +110,41 @@ def main():
             h0, hx, hy, g[:, 9:12], g[:, 12:15], g[:, 3:6])
         return albedo4, spec, sn
 
-    if tables.packed_atlas is not None:
-        albedo4, spec, sn = material(g)
-        sync(albedo4)
-        timeit("material fetch (atlas)", lambda: sync(material(g)[0]))
-    else:
-        albedo4 = g[:, 20:24]
-        spec, sn = g[:, 24:27], g[:, 3:6]
+    albedo4, spec, sn = material(g)
+    sync(albedo4)
+    timeit("material fetch (atlas)", lambda: sync(material(g)[0]))
+
+    bn = jax.jit(lambda sn: jnp.concatenate(
+        [sn, jnp.zeros((sn.shape[0], 1), jnp.float32)], axis=1))(sn)
+    cfield = 4 * cfg.cones.field_basis * 2
+    nb = cfg.cones.field_basis
+    taps_fn = lambda: TP.tap_tiles(
+        g, scal, bn, cam, tables.light_mips, tables.field_mips,
+        cfield=cfield, nb=nb, world_size=ws, voxel=voxel,
+        shadow_offset=cfg.shadow.normal_offset,
+        power_diffuse=int(cfg.cones.basis_power_diffuse),
+        power_specular=int(cfg.cones.basis_power_specular),
+        cones_static=F._cones_static(cfg), tile=tile)
+    sync(taps_fn())
+    timeit("tap_tiles kernel", lambda: sync(taps_fn()))
 
     taps = taps_fn()
 
     @jax.jit
     def tail(g, taps, albedo4, spec, sn):
-        pos = g[:, 0:3]
-        spec = shading.spec_gray_fallback(spec)
-        eye = shading.C.normalize(cam - pos)
-        refl = shading.reflect_eye(sn, eye)
-        basis = D.direction_basis(cfg.cones.field_basis)
-        sw = D.basis_weights(refl, basis, cfg.cones.basis_power_specular)
-        stap = taps[:, 8:].reshape(-1, cfg.cones.field_basis, 4)
-        sout = jnp.einsum("nb,nbc->nc", sw, stap)
+        spec2 = shading.spec_gray_fallback(spec)
+        eye = shading.C.normalize(cam - g[:, 0:3])
         rgb = shading.combine(
-            cfg, albedo=albedo4[:, :3], spec_color=spec, normal=sn,
+            cfg, albedo=albedo4[:, :3], spec_color=spec2, normal=sn,
             light_dir=jnp.asarray(cfg.light.direction) / np.linalg.norm(
                 cfg.light.direction), eye_dir=eye, shadow=taps[:, 0],
             ind_diffuse_rgb=taps[:, 1:4], ind_diffuse_occ=taps[:, 4],
-            ind_spec_rgb=sout[:, :3], ind_spec_occ=sout[:, 3],
-            shininess=cfg.render.shininess)
+            ind_spec_rgb=taps[:, 5:8], ind_spec_occ=taps[:, 8],
+            shininess=g[:, 27])
         return F._untile(rgb, hp, wp)[:h, :w]
 
     sync(tail(g, taps, albedo4, spec, sn))
-    timeit("specular+combine+untile", lambda: sync(
-        tail(g, taps, albedo4, spec, sn)))
+    timeit("combine+untile", lambda: sync(tail(g, taps, albedo4, spec, sn)))
 
     frame = lambda: F.render_frame(cfg, ds, tables, mats, origins, dirs, cam)
     sync(frame())

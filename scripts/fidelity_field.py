@@ -46,28 +46,31 @@ def rel_rms(x, ref):
 
 
 def field_taps_grouped(cfg, mips, sched, pos, nrm, weights, field_dim,
-                      group=4):
+                      group=None):
     """sum_b w[:, b] * trilinear(G_b, p) accumulated per basis group —
     never materializes the full (df^3, B*4) field."""
+    if group is None:
+        group = 13 if field_dim <= 128 else 4    # 256^3 marches OOM above
     basis = D.direction_basis(cfg.cones.field_basis)
     out = jnp.zeros((pos.shape[0], 4), jnp.float32)
     p = pos + nrm * cfg.grid.voxel_world_size
     from vct_tpu.core import grid as G
     uvw = G.world_to_uvw(p, cfg.grid.world_size)
 
-    @jax.jit
-    def one_group(dirs_sub):
-        f = D.directional_march_multi(
-            mips, dirs_sub, sched, cfg.grid.world_size, field_dim=field_dim,
-            max_alpha=cfg.cones.max_alpha,
-            occlusion_falloff=cfg.cones.occlusion_falloff,
-            compute_dtype=jnp.bfloat16)          # (g, df, df, df, 4)
-        taps = jax.vmap(lambda vol: G.trilinear_sample(vol, uvw))(f)
-        return taps                               # (g, n, 4)
-
     for b0 in range(0, basis.shape[0], group):
-        sub = basis[b0:b0 + group]
-        taps = one_group(jnp.asarray(sub))
+        sub = basis[b0:b0 + group]                # static: the march's
+                                                  # shifts are compile-time
+
+        @jax.jit
+        def one_group(mips_, uvw_, sub=sub):
+            f = D.directional_march_multi(
+                mips_, sub, sched, cfg.grid.world_size,
+                field_dim=field_dim, max_alpha=cfg.cones.max_alpha,
+                occlusion_falloff=cfg.cones.occlusion_falloff,
+                compute_dtype=jnp.bfloat16)       # (g, df, df, df, 4)
+            return jax.vmap(lambda vol: G.trilinear_sample(vol, uvw_))(f)
+
+        taps = one_group(mips, uvw)
         w = weights[:, b0:b0 + sub.shape[0]]      # (n, g)
         out = out + jnp.einsum("gnc,ng->nc", taps, w)
     return out
@@ -122,33 +125,39 @@ def main():
     cw = jnp.asarray(C.CONE_WEIGHTS[: cfg.cones.num_diffuse_cones])
     w_diff = jnp.einsum("k,nkb->nb", cw, wb)
 
+    stage = os.environ.get("VCT_FIDELITY_STAGE", "all")
     res = {}
-    for df in (128, 256):
-        t0 = time.time()
-        out = field_taps_grouped(cfg, mips, sched_d, pos, nrm, w_diff, df)
-        jax.block_until_ready(out)
-        err = rel_rms(out, oracle)
-        res[f"diffuse_field{df}_rel_rms"] = err
-        log(f"field {df}^3 diffuse: rel RMS {err:.4f} "
-            f"({time.time()-t0:.1f}s)")
+    if stage in ("all", "diffuse"):
+        for df in (128, 256):
+            t0 = time.time()
+            out = field_taps_grouped(cfg, mips, sched_d, pos, nrm, w_diff,
+                                     df)
+            jax.block_until_ready(out)
+            err = rel_rms(out, oracle)
+            res[f"diffuse_field{df}_rel_rms"] = err
+            log(f"field {df}^3 diffuse: rel RMS {err:.4f} "
+                f"({time.time()-t0:.1f}s)")
 
     # ---- mirror-material specular: refl-dir cone vs basis field ----
-    eye = pos - jnp.asarray(camera.position, jnp.float32)
-    eye = -eye / jnp.linalg.norm(eye, axis=1, keepdims=True)
-    refl = shading.reflect_eye(nrm, eye)
-    t0 = time.time()
-    s_rgb, s_occ = shading.indirect_specular_percone(cfg, mips, pos, nrm,
-                                                     refl)
-    spec_oracle = jnp.concatenate([s_rgb, s_occ[:, None]], axis=1)
-    jax.block_until_ready(spec_oracle)
-    log(f"percone specular oracle: {time.time()-t0:.1f}s")
-    w_spec = D.basis_weights(refl, basis, cfg.cones.basis_power_specular)
-    for df in (128, 256):
-        out = field_taps_grouped(cfg, mips, sched_s, pos, nrm, w_spec, df)
-        jax.block_until_ready(out)
-        err = rel_rms(out, spec_oracle)
-        res[f"specular_field{df}_rel_rms"] = err
-        log(f"field {df}^3 specular (mirror dirs): rel RMS {err:.4f}")
+    if stage in ("all", "specular"):
+        eye = pos - jnp.asarray(camera.position, jnp.float32)
+        eye = -eye / jnp.linalg.norm(eye, axis=1, keepdims=True)
+        refl = shading.reflect_eye(nrm, eye)
+        t0 = time.time()
+        s_rgb, s_occ = shading.indirect_specular_percone(cfg, mips, pos,
+                                                         nrm, refl)
+        spec_oracle = jnp.concatenate([s_rgb, s_occ[:, None]], axis=1)
+        jax.block_until_ready(spec_oracle)
+        log(f"percone specular oracle: {time.time()-t0:.1f}s")
+        w_spec = D.basis_weights(refl, basis,
+                                 cfg.cones.basis_power_specular)
+        for df in (128, 256):
+            out = field_taps_grouped(cfg, mips, sched_s, pos, nrm, w_spec,
+                                     df)
+            jax.block_until_ready(out)
+            err = rel_rms(out, spec_oracle)
+            res[f"specular_field{df}_rel_rms"] = err
+            log(f"field {df}^3 specular (mirror dirs): rel RMS {err:.4f}")
 
     res["n_pixels"] = int(n)
     res["grid_dim"] = cfg.grid.dim
@@ -156,9 +165,15 @@ def main():
     res["power_diffuse"] = float(cfg.cones.basis_power_diffuse)
     res["power_specular"] = float(cfg.cones.basis_power_specular)
     out_path = os.environ.get("VCT_FIDELITY_OUT", "FIDELITY_r03.json")
+    try:
+        with open(out_path) as f:
+            prev = json.load(f)
+    except Exception:
+        prev = {}
+    prev.update(res)
     with open(out_path, "w") as f:
-        json.dump(res, f, indent=1)
-    print(json.dumps(res))
+        json.dump(prev, f, indent=1)
+    print(json.dumps(prev))
 
 
 if __name__ == "__main__":

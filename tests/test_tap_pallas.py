@@ -53,13 +53,14 @@ def setup():
     tangent = np.cross(normal, [0.1, 0.9, 0.3])
     tangent /= np.linalg.norm(tangent, axis=1, keepdims=True)
     bitan = np.cross(normal, tangent)
-    gbuf = np.zeros((n, 24), np.float32)
+    gbuf = np.zeros((n, 32), np.float32)
     gbuf[:, 0:3] = pos
     gbuf[:, 3:6] = normal
     gbuf[:, 6:9] = normal          # geo normal = shading normal here
     gbuf[:, 9:12] = tangent
     gbuf[:, 12:15] = bitan
     gbuf[:, 19] = 1.0
+    gbuf[:, 28:31] = normal        # bump normal column (specular axis)
     gbuf = jnp.asarray(gbuf)
 
     return cfg, voxel, light_mips, field_mips, light_f32, field_f32, \
@@ -81,20 +82,28 @@ def _scalars(cfg, voxel, gbuf, ntiles, light_dims, field_dims):
         [llev[:, None], lorg, flev[:, None], forg], axis=1).astype(jnp.int32)
 
 
+CAMPOS = jnp.asarray([5.0, -3.0, 190.0], jnp.float32)
+
+
+def _kw(cfg, voxel):
+    return dict(cfield=NB * 4 * 2, nb=NB, world_size=WS, voxel=voxel,
+                shadow_offset=cfg.shadow.normal_offset,
+                power_diffuse=8, power_specular=32,
+                cones_static=(
+                    tuple(map(tuple,
+                              np.asarray(C.CONE_DIRECTIONS[:6],
+                                         np.float32))),
+                    tuple(np.asarray(C.CONE_WEIGHTS[:6], np.float32)),
+                    tuple(map(tuple, D.direction_basis(NB)))))
+
+
 def _run(cfg, voxel, light_mips, field_mips, gbuf, ntiles):
     scal = _scalars(cfg, voxel, gbuf, ntiles,
                     tuple(m.shape[0] for m in light_mips),
                     tuple(m.shape[0] for m in field_mips))
-    cones_static = (
-        tuple(map(tuple, np.asarray(C.CONE_DIRECTIONS[:6], np.float32))),
-        tuple(np.asarray(C.CONE_WEIGHTS[:6], np.float32)),
-        tuple(map(tuple, D.direction_basis(NB))),
-    )
     return TP.tap_tiles(
-        gbuf, scal, light_mips, field_mips,
-        cfield=NB * 4 * 2, world_size=WS, voxel=voxel,
-        shadow_offset=cfg.shadow.normal_offset,
-        power_diffuse=8, cones_static=cones_static, interpret=True)
+        gbuf, scal, gbuf[:, 28:32], CAMPOS, light_mips, field_mips,
+        interpret=True, **_kw(cfg, voxel))
 
 
 class TestTapKernel:
@@ -125,17 +134,21 @@ class TestTapKernel:
                                    np.asarray(ref_occ),
                                    rtol=2e-2, atol=2e-2)
 
-    def test_spec_tap_matches_trilinear(self, setup):
+    def test_spec_matches_field_mode(self, setup):
         cfg, voxel, light_mips, field_mips, _, field_f32, gbuf, nt = setup
         out = _run(cfg, voxel, light_mips, field_mips, gbuf, nt)
         pos, nrm = gbuf[:, 0:3], gbuf[:, 3:6]
-        p = pos + nrm * voxel
-        uvw = G.world_to_uvw(p, WS)
         sfield = field_f32[0].astype(jnp.bfloat16).astype(
             jnp.float32)[..., 4 * NB:]
-        ref = G.trilinear_sample(sfield, uvw)
-        np.testing.assert_allclose(np.asarray(out[:, 8:]),
-                                   np.asarray(ref),
+        eye = shading.C.normalize(CAMPOS - pos)
+        refl = shading.reflect_eye(nrm, eye)
+        ref_rgb, ref_occ = shading.indirect_specular_field(
+            cfg, sfield, pos, nrm, refl)
+        np.testing.assert_allclose(np.asarray(out[:, 5:8]),
+                                   np.asarray(ref_rgb),
+                                   rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(out[:, 8]),
+                                   np.asarray(ref_occ),
                                    rtol=2e-2, atol=2e-2)
 
     def test_coarse_level_fallback(self, setup):
@@ -203,22 +216,15 @@ class TestTapGradients:
                         tuple(m.shape[0] for m in light_mips),
                         tuple(m.shape[0] for m in field_mips))
         assert int(np.asarray(scal)[:, 4].max()) == 0   # level-0 field tiles
-        cones_static = (
-            tuple(map(tuple, np.asarray(C.CONE_DIRECTIONS[:6], np.float32))),
-            tuple(np.asarray(C.CONE_WEIGHTS[:6], np.float32)),
-            tuple(map(tuple, D.direction_basis(NB))),
-        )
         w = jnp.asarray(np.random.RandomState(7).rand(
             gbuf.shape[0], 5), jnp.float32)
+        kw = _kw(cfg, voxel)
 
         def loss_kernel(field0):
             fm = TP.pack_field_mips((field0,) + tuple(
                 f for f in field_f32[1:]))
-            out = TP.tap_tiles(
-                gbuf, scal, light_mips, fm, cfield=NB * 4 * 2,
-                world_size=WS, voxel=voxel,
-                shadow_offset=cfg.shadow.normal_offset, power_diffuse=8,
-                cones_static=cones_static, interpret=True)
+            out = TP.tap_tiles(gbuf, scal, gbuf[:, 28:32], CAMPOS, light_mips, fm,
+                               interpret=True, **kw)
             return jnp.sum(out[:, :5] * w)
 
         def loss_xla(field0):
@@ -242,33 +248,33 @@ class TestTapGradients:
 
         def loss_light(l0):
             lm = TP.pack_light_mips((l0,) + tuple(light_f32[1:]))
-            out = TP.tap_tiles(
-                gbuf, scal, lm, field_mips, cfield=NB * 4 * 2,
-                world_size=WS, voxel=voxel,
-                shadow_offset=cfg.shadow.normal_offset, power_diffuse=8,
-                cones_static=cones_static, interpret=True)
+            out = TP.tap_tiles(gbuf, scal, gbuf[:, 28:32], CAMPOS, lm, field_mips,
+                               interpret=True, **kw)
             return jnp.sum(out[:, 0])
 
         gl = jax.grad(loss_light)(light_f32[0])
         assert np.all(np.isfinite(np.asarray(gl)))
         assert float(jnp.abs(gl).max()) > 0
 
+        def loss_gbuf(gv):
+            out = TP.tap_tiles(gv, scal, gv[:, 28:32], CAMPOS, light_mips, field_mips,
+                               interpret=True, **kw)
+            return jnp.sum(out[:, 1:9] * w[:, :1])
+
+        gg = jax.grad(loss_gbuf)(gbuf)
+        assert np.all(np.isfinite(np.asarray(gg)))
+        assert float(jnp.abs(gg).max()) > 0
+
     def test_ref_matches_kernel_forward(self, setup):
         cfg, voxel, light_mips, field_mips, _, _, gbuf, nt = setup
         scal = _scalars(cfg, voxel, gbuf, nt,
                         tuple(m.shape[0] for m in light_mips),
                         tuple(m.shape[0] for m in field_mips))
-        cones_static = (
-            tuple(map(tuple, np.asarray(C.CONE_DIRECTIONS[:6], np.float32))),
-            tuple(np.asarray(C.CONE_WEIGHTS[:6], np.float32)),
-            tuple(map(tuple, D.direction_basis(NB))),
-        )
-        kw = dict(cfield=NB * 4 * 2, world_size=WS, voxel=voxel,
-                  shadow_offset=cfg.shadow.normal_offset, power_diffuse=8,
-                  cones_static=cones_static)
-        out_k = TP.tap_tiles(gbuf, scal, light_mips, field_mips,
+        kw = _kw(cfg, voxel)
+        out_k = TP.tap_tiles(gbuf, scal, gbuf[:, 28:32], CAMPOS, light_mips, field_mips,
                              interpret=True, **kw)
-        out_r = TP.tap_tiles_ref(gbuf, scal, light_mips, field_mips, **kw)
+        out_r = TP.tap_tiles_ref(gbuf, scal, gbuf[:, 28:32], CAMPOS,
+                                 light_mips, field_mips, **kw)
         np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
                                    rtol=2e-2, atol=2e-2)
 

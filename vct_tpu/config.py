@@ -66,7 +66,16 @@ class ConeSetConfig:
     diffuse_mode: str = "percone"    # "percone" | "field"
     specular_mode: str = "percone"   # "percone" | "field"
     field_basis: int = 26            # direction-basis size for field mode
-    field_dim: Optional[int] = None  # field resolution; None = min(grid, 128)
+    # Field resolution; None = min(grid, 128).  Measured fidelity at the
+    # sponza256 operating point vs the exact per-pixel cone march
+    # (scripts/fidelity_field.py -> FIDELITY_r03.json, 2048-pixel subset):
+    # diffuse rel-RMS 0.44 @128^3 vs 0.22 @256^3 (resolution-dominated;
+    # 256^3 costs 8x build time and ~7 GB of fields), specular rel-RMS
+    # 0.63 at BOTH (narrow mirror cones are basis-limited at 26 dirs —
+    # resolution does not help).  128 is therefore the perf default;
+    # set field_dim=grid.dim or the percone modes (the exact oracle
+    # path) when GI fidelity matters more than frame rate.
+    field_dim: Optional[int] = None
     basis_power_diffuse: float = 8.0     # spherical interp sharpness
     basis_power_specular: float = 32.0
 

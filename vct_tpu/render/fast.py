@@ -181,20 +181,9 @@ def render_frame(cfg: VCTConfig,
     scal = jnp.concatenate(
         [llev[:, None], lorg, flev[:, None], forg], axis=1).astype(jnp.int32)
 
-    # 3. taps
-    cfield = 4 * cfg.cones.field_basis * (2 if cfg.cones.trace_specular
-                                          else 1)
-    taps = TP.tap_tiles(
-        g, scal, tables.light_mips, tables.field_mips,
-        cfield=cfield, world_size=ws, voxel=voxel,
-        shadow_offset=cfg.shadow.normal_offset,
-        power_diffuse=int(cfg.cones.basis_power_diffuse),
-        cones_static=_cones_static(cfg), interpret=interpret, tile=tile)
-    shadow = taps[:, 0]
-    ind_d_rgb = taps[:, 1:4]
-    ind_d_occ = taps[:, 4]
-
-    # 4. material fetch (one packed row) + bump + specular weighting
+    # 3. material fetch (one packed row) + bump normal — BEFORE the taps,
+    # so the per-pixel basis weights (which need the bump normal for the
+    # specular reflection dir) ride the tap kernel as inputs
     if tables.packed_atlas is not None:
         material = g[:, 17].astype(jnp.int32)
         res = tables.packed_atlas.shape[1]
@@ -207,18 +196,33 @@ def render_frame(cfg: VCTConfig,
         spec = g[:, 24:27]
         shade_normal = nrm
     spec = shading.spec_gray_fallback(spec)
-
+    # materialize the gather outputs: left fusable, XLA folds the atlas
+    # gather into the (much larger) downstream elementwise graph and
+    # rematerializes it (traced at 122 + 24 ms remat vs ~25 ms isolated)
+    albedo4, spec, shade_normal = jax.lax.optimization_barrier(
+        (albedo4, spec, shade_normal))
     eye = shading.C.normalize(camera_position - pos)
-    if cfg.cones.trace_specular:
-        refl = shading.reflect_eye(shade_normal, eye)
-        basis = D.direction_basis(cfg.cones.field_basis)
-        sw = D.basis_weights(refl, basis, cfg.cones.basis_power_specular)
-        stap = taps[:, 8:].reshape(-1, cfg.cones.field_basis, 4)
-        sout = jnp.einsum("nb,nbc->nc", sw, stap)
-        ind_s_rgb, ind_s_occ = sout[:, :3], sout[:, 3]
-    else:
-        ind_s_rgb = jnp.zeros_like(ind_d_rgb)
-        ind_s_occ = jnp.zeros_like(ind_d_occ)
+    nb = cfg.cones.field_basis
+
+    # 4. taps: shadow + basis-weighted diffuse/specular, one kernel pass;
+    # the bump normal ships as its own narrow input (the specular
+    # reflection axis is formed in-kernel)
+    bumpn = jnp.concatenate(
+        [shade_normal, jnp.zeros((g.shape[0], 1), jnp.float32)], axis=1)
+    cfield = 4 * nb * (2 if cfg.cones.trace_specular else 1)
+    taps = TP.tap_tiles(
+        g, scal, bumpn, camera_position, tables.light_mips,
+        tables.field_mips,
+        cfield=cfield, nb=nb, world_size=ws, voxel=voxel,
+        shadow_offset=cfg.shadow.normal_offset,
+        power_diffuse=int(cfg.cones.basis_power_diffuse),
+        power_specular=int(cfg.cones.basis_power_specular),
+        cones_static=_cones_static(cfg), interpret=interpret, tile=tile)
+    shadow = taps[:, 0]
+    ind_d_rgb = taps[:, 1:4]
+    ind_d_occ = taps[:, 4]
+    ind_s_rgb = taps[:, 5:8]
+    ind_s_occ = taps[:, 8]
 
     # 5. combine + background + untile
     rgb = shading.combine(
