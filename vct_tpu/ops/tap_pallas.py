@@ -34,10 +34,12 @@ is exactly grid.trilinear_sample; tiles whose AABB exceeds a brick at
 level 0 sample a coarser level (the same footprint-driven lod selection
 the cone march itself uses, fs:96-97) — tests bound the difference.
 
-The diffuse basis weighting (shading.indirect_diffuse_field's cone-weight x
-spherical-basis contraction) runs in-kernel on the tapped values; the
-specular tap returns the raw per-basis vec4s so the XLA side can weight
-them with the bump-mapped reflection direction (renderer.shade_gbuffer).
+BOTH basis weightings run in-kernel on the tapped values: the diffuse
+cone-weight x spherical-basis contraction (shading.indirect_diffuse_field)
+and the specular weighting along the bump-normal reflection axis
+(shading.indirect_specular_field) — the reflection itself is formed
+in-kernel from the shipped bump normal and camera position, so the kernel
+emits final weighted rgba instead of raw per-basis vec4s.
 
 Coarsest levels: light floor is 16 == brick x-extent and field floor is
 8 == brick x/y-extent, with the constrained axes zero-padded to the brick
