@@ -78,41 +78,40 @@ def main():
     ldims = tuple(m.shape[0] for m in tables.light_mips)
     fdims = tuple(m.shape[0] for m in tables.field_mips)
 
-    @jax.jit
-    def prepass(g):
-        tiled = lambda x: x.reshape((ntiles, tile) + x.shape[1:])
-        pos, nrm, geo = g[:, 0:3], g[:, 3:6], g[:, 6:9]
-        hit = g[:, 19] > 0.5
-        p_l = pos + geo * (voxel * cfg.shadow.normal_offset)
-        p_f = pos + nrm * voxel
-        llev, lorg = TP.select_light_bricks(
-            tiled(G.world_to_uvw(p_l, ws)), tiled(hit), ldims)
-        flev, forg = TP.select_field_bricks(
-            tiled(G.world_to_uvw(p_f, ws)), tiled(hit), fdims)
-        return jnp.concatenate(
-            [llev[:, None], lorg, flev[:, None], forg],
-            axis=1).astype(jnp.int32)
-
-    scal = prepass(g)
-    sync(scal)
-    timeit("brick-select prepass", lambda: sync(prepass(g)))
-
     from vct_tpu.scene import textures as TX
     from vct_tpu.render import shading
+    from vct_tpu.ops import material_pallas as MP
+    from vct_tpu.ops import prepass_pallas as PP
+
+    res = MP.pages_resolution(tables.atlas_pages)
 
     @jax.jit
-    def material(g):
-        res = tables.packed_atlas.shape[1]
-        mat_id = g[:, 17].astype(jnp.int32)
-        albedo4, spec, (h0, hx, hy) = TX.sample_packed(
-            tables.packed_atlas, res, mat_id, g[:, 15:17])
-        sn = TX.bump_normal_from_heights(
-            h0, hx, hy, g[:, 9:12], g[:, 12:15], g[:, 3:6])
-        return albedo4, spec, sn
+    def prepass(g):
+        return PP.prepass_tiles(
+            g, light_dims=ldims, field_dims=fdims,
+            num_materials=tables.atlas_pages[0].shape[0], resolution=res,
+            atlas_levels=len(tables.atlas_pages), voxel=voxel,
+            world_size=ws, shadow_offset=cfg.shadow.normal_offset,
+            has_atlas=True, tile=tile)
 
-    albedo4, spec, sn = material(g)
+    scal, mscal, mlists, mslots = prepass(g)
+    sync(scal)
+    timeit("fused prepass kernel", lambda: sync(prepass(g)[0]))
+
+    @jax.jit
+    def material(g, mscal, mlists, mslots):
+        mout = MP.material_tiles(
+            g, mslots, mscal, mlists, tables.atlas_pages,
+            resolution=res, tile=tile)
+        sn = TX.bump_normal_from_heights(
+            mout[:, 7], mout[:, 8], mout[:, 9], g[:, 9:12], g[:, 12:15],
+            g[:, 3:6])
+        return mout[:, 0:4], mout[:, 4:7], sn
+
+    albedo4, spec, sn = material(g, mscal, mlists, mslots)
     sync(albedo4)
-    timeit("material fetch (atlas)", lambda: sync(material(g)[0]))
+    timeit("material kernel (atlas)",
+           lambda: sync(material(g, mscal, mlists, mslots)[0]))
 
     bn = jax.jit(lambda sn: jnp.concatenate(
         [sn, jnp.zeros((sn.shape[0], 1), jnp.float32)], axis=1))(sn)

@@ -63,6 +63,12 @@ class TestFastPath:
         # resolutions a single 16x16 tile spans a huge frustum and the
         # taps legitimately fall back to coarse mips)
         cfg = _cfg(32, 96, 64)
+        # NOTE on the error bound: the fast path mip-filters atlas
+        # textures by per-tile UV footprint (ops/material_pallas.py, the
+        # hardware-texture-unit behavior); render_rays samples level 0.
+        # At 96x64 every tile's footprint is huge, so textured surfaces
+        # legitimately differ by the texture's local variance.  Level-0
+        # exactness is pinned in tests/test_material_pallas.py.
         scene = atrium()
         camera = cameralib.Camera(position=(48.0, -10.0, 0.0), yaw=180.0)
         ds, mats, samples = R.prepare_scene(cfg, scene)
@@ -80,7 +86,7 @@ class TestFastPath:
         ref = np.asarray(ref)
         assert np.isfinite(out).all()
         err = np.abs(out - ref)
-        assert err.mean() < 0.015, err.mean()
+        assert err.mean() < 0.03, err.mean()
 
     def test_no_specular_config(self, cornell_setup):
         cfg, ds, mats, voxels, origins, dirs, cam = cornell_setup

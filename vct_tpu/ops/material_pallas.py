@@ -1,0 +1,517 @@
+"""Pallas tiled material fetch: per-image-tile atlas-brick DMA + MXU bilinear.
+
+The fast frame path's material stage (albedo/specular/bump-height fetch
+from the texture atlas, scene/textures.py) was an XLA per-pixel gather —
+measured 139 ms of the 309 ms 1080p frame (VERDICT r3 weak #1): exactly
+the row-bound arbitrary-gather pattern this framework exists to avoid.
+This kernel applies the same IMAGE-TILE COHERENCE cure as ops/tap_pallas:
+the 256 pixels of a 16x16 tile overwhelmingly share a material page and a
+compact UV footprint, so per (tile, material):
+
+  1. an XLA prepass picks the finest ATLAS MIP level at which the tile's
+     UV footprint (for that material) fits a 32x32-texel brick, plus the
+     brick's wrap-aware origin (select_material_bricks);
+  2. the kernel DMAs that one brick from HBM;
+  3. every pixel's bilinear fetch — albedo4 + specular3 + the three
+     bump-height taps of CalcBumpNormal (VoxelConeTracing.fs:108-126) —
+     is evaluated as two-hot-weight matmuls on the MXU.
+
+LATENCY STRUCTURE (measured r4): a brick DMA issued at tile start and
+waited immediately exposes ~2 us of latency per tile (~15 ms/frame at
+8160 tiles).  So the DOMINANT material of each tile — slot 0, which is
+the only slot for most tiles — rides the PREFETCH SCALARS, letting tile
+i+1's brick DMA issue while tile i computes (the ops/tap_pallas pattern);
+only tiles with 2+ distinct materials take the slow path: a synchronous
+HBM list fetch plus one synchronous brick DMA per extra material,
+accumulated into the already-written output block.
+
+Mip semantics: level 0 reproduces scene/textures.sample_atlas /
+sample_packed exactly (same texel centers, REPEAT wrap, bilinear weights,
+one-texel bump offsets); tiles whose footprint exceeds a brick sample a
+2x2-box-filtered coarser level — the footprint-driven lod rule hardware
+texture units apply per-pixel (Mesh.h:89-111 gets this from GL mipmapping;
+the reference's textures are mip-filtered the same way, Model.h:171-177),
+applied per-tile.  tests/test_material_pallas.py pins level-0 parity and
+bounds the mip approximation.
+
+MOSAIC DMA CONSTRAINTS shape the page layout.  Each mip level stores
+(M, V, U*8) bf16 — rows are texel rows, lanes are (texel column x the 8
+fused channels [albedo4 | specular3 | height]).  REPEAT wrap is baked in:
+row v holds texel row v mod R, and V >= R + 32 so any origin in [0, R)
+has a full 32-row window; likewise columns.  Brick origins align to 16
+rows (bf16 sublane tile) and 16 texel columns (= 128 lanes), so a
+16-aligned origin loses up to 15 texels of its 32-extent window — the
+prepass therefore requires footprints <= 14 texels (+1 bilinear corner
++1 bump-offset texel = 31 <= the 32-texel brick).  The coarsest level is
+1x1, whose wrap-padded brick is CONSTANT, so every tile fits some level
+by construction.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+C8 = 8            # fused channels: albedo rgba, specular rgb, height
+MBV = 32          # brick rows (texels)
+MBU = 32          # brick texel columns; lanes = MBU * C8 = 256
+ALIGN = 16        # origin alignment: bf16 sublane tile / 128-lane texel unit
+THRESH = 14       # max per-axis texel footprint that fits a brick
+NSLOT = 24        # max distinct materials per tile
+NSCAL = 5         # prefetch words: count, then slot-0 (mat, level, bv, bu)
+NWORDS = 128      # overflow list row width; 4*(NSLOT-1) = 92 <= 128
+NOUT = 16         # output row: albedo4, spec3, h0, hx, hy, pad
+
+
+def _ceil_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+# ---------------------------------------------------------------------------
+# page packing: fused-channel mip chain with baked-in REPEAT wrap
+# ---------------------------------------------------------------------------
+
+def atlas_mip_pages(albedo: Array, specular: Array, height: Array
+                    ) -> Tuple[Array, ...]:
+    """Atlas pages (M,R,R,4)/(M,R,R,3)/(M,R,R,1) -> per-level packed pages.
+
+    Level l is the 2^l-fold 2x2 box filter of level 0 (glGenerateMipmap
+    semantics, Model.h:171), stored (M, V_l, U_l*8) bf16 with wrap rows /
+    columns appended (see module header).  R must be a power of two >= 16.
+    """
+    m, r, _, _ = albedo.shape
+    assert r >= 16 and (r & (r - 1)) == 0, f"atlas resolution {r}"
+    fused = jnp.concatenate([albedo, specular, height], axis=-1)  # (M,R,R,8)
+    pages = []
+    level = fused
+    rl = r
+    while True:
+        v = _ceil_to(rl + MBV, ALIGN)
+        rows = jnp.arange(v) % rl
+        page = jnp.take(jnp.take(level, rows, axis=1), rows, axis=2)
+        pages.append(page.reshape(m, v, v * C8).astype(jnp.bfloat16))
+        if rl == 1:
+            break
+        level = 0.25 * (level[:, 0::2, 0::2] + level[:, 0::2, 1::2]
+                        + level[:, 1::2, 0::2] + level[:, 1::2, 1::2])
+        rl //= 2
+    return tuple(pages)
+
+
+def pages_resolution(pages: Sequence[Array]) -> int:
+    """Recover the level-0 atlas resolution from packed page shapes."""
+    u0 = pages[0].shape[2] // C8
+    r = u0 - MBV
+    assert r >= 16 and _ceil_to(r + MBV, ALIGN) == u0, pages[0].shape
+    return r
+
+
+# ---------------------------------------------------------------------------
+# XLA prepass: per-tile (material, level, origin) brick lists
+# ---------------------------------------------------------------------------
+
+def select_material_bricks(mat: Array,      # (ntiles, tile) int32
+                           uv: Array,       # (ntiles, tile, 2)
+                           valid: Array,    # (ntiles, tile) bool
+                           num_materials: int,
+                           resolution: int,
+                           num_levels: int
+                           ) -> Tuple[Array, Array, Array]:
+    """Per-tile brick entries + per-pixel slot assignment.
+
+    Returns (scalars (ntiles, NSCAL) int32, lists (ceil8(ntiles), NWORDS)
+    int32, slots (ntiles, tile) int32).  scalars row = [count, slot-0
+    entry: material, level, bv, bu]; lists row packs the OVERFLOW entries
+    (slots 1..count-1) as 4 words each from word 0.  bv/bu are the
+    16-aligned UNWRAPPED texel-space brick bases (the kernel rebases
+    per-pixel coordinates by them and derives the wrapped DMA origin as
+    base mod R_l).  Slots are materials present in the tile in ascending
+    id order; pixels get slot = rank of their material (invalid pixels
+    slot 0).  Tiles with more than NSLOT distinct materials clip overflow
+    pixels to the last slot (wrong page for those pixels; unreachable for
+    real tile sizes).
+    """
+    ntiles, tile = mat.shape
+    mm = num_materials
+    u = uv[..., 0]
+    q = 1.0 - uv[..., 1]                     # texture-row coordinate
+    big = jnp.float32(3e38)
+
+    # per (tile, material) masked AABB over the tile's valid pixels
+    onehot = (mat[..., None] == jnp.arange(mm)[None, None, :]) \
+        & valid[..., None]                    # (ntiles, tile, M)
+    def mmin(x):
+        return jnp.min(jnp.where(onehot, x[..., None], big), axis=1)
+    def mmax(x):
+        return jnp.max(jnp.where(onehot, x[..., None], -big), axis=1)
+    umin, umax = mmin(u), mmax(u)             # (ntiles, M)
+    qmin, qmax = mmin(q), mmax(q)
+    present = jnp.any(onehot, axis=1)         # (ntiles, M)
+
+    # finest level whose footprint (+1 bump texel margin) fits THRESH
+    fits, bvs, bus = [], [], []
+    for lv in range(num_levels):
+        rl = max(resolution >> lv, 1)
+        d = 2.0 ** -lv                        # bump-tap offset in texels
+        base_u = jnp.floor(umin * rl - 0.5)
+        hi_u = jnp.floor(umax * rl - 0.5 + d)
+        base_v = jnp.floor(qmin * rl - 0.5 - d)
+        hi_v = jnp.floor(qmax * rl - 0.5)
+        fits.append((hi_u - base_u <= THRESH) & (hi_v - base_v <= THRESH))
+        clip = float(2 ** 30)
+        bvs.append(jnp.clip(base_v, -clip, clip))
+        bus.append(jnp.clip(base_u, -clip, clip))
+    fits = jnp.stack(fits, axis=-1)           # (ntiles, M, L)
+    fits = fits.at[..., -1].set(True)         # 1x1 page is constant: exact
+    level = jnp.argmax(fits, axis=-1).astype(jnp.int32)
+    bv = jnp.take_along_axis(jnp.stack(bvs, -1), level[..., None], -1)[..., 0]
+    bu = jnp.take_along_axis(jnp.stack(bus, -1), level[..., None], -1)[..., 0]
+    bv = (ALIGN * jnp.floor(bv / ALIGN)).astype(jnp.int32)
+    bu = (ALIGN * jnp.floor(bu / ALIGN)).astype(jnp.int32)
+
+    # slots: present materials compacted in ascending id order
+    slot_of = jnp.cumsum(present.astype(jnp.int32), axis=1) - 1
+    count = jnp.sum(present.astype(jnp.int32), axis=1)        # (ntiles,)
+    slots = jnp.take_along_axis(slot_of, mat, axis=1)
+    slots = jnp.clip(jnp.where(valid, slots, 0), 0, NSLOT - 1)
+
+    entry_mat = jnp.sort(
+        jnp.where(present, jnp.arange(mm)[None, :], mm), axis=1)
+    entry_mat = entry_mat[:, :NSLOT] if mm >= NSLOT else jnp.concatenate(
+        [entry_mat, jnp.full((ntiles, NSLOT - mm), mm, entry_mat.dtype)],
+        axis=1)
+    gi = jnp.clip(entry_mat, 0, mm - 1)
+    def egather(x):
+        return jnp.take_along_axis(x, gi, axis=1)
+    entries = jnp.stack(
+        [gi.astype(jnp.int32), egather(level), egather(bv), egather(bu)],
+        axis=-1)                                              # (ntiles,S,4)
+    valid_s = jnp.arange(NSLOT)[None, :] < count[:, None]
+    entries = jnp.where(valid_s[..., None], entries, 0)
+
+    scalars = jnp.concatenate(
+        [jnp.minimum(count, NSLOT)[:, None], entries[:, 0]], axis=1)
+    lists = jnp.zeros((ntiles, NWORDS), jnp.int32)
+    lists = lists.at[:, :4 * (NSLOT - 1)].set(
+        entries[:, 1:].reshape(ntiles, 4 * (NSLOT - 1)))
+    pad = (-ntiles) % 8        # kernel copies 8-row list groups
+    if pad:
+        lists = jnp.concatenate(
+            [lists, jnp.zeros((pad, NWORDS), jnp.int32)], axis=0)
+    return scalars, lists, slots
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _expand_u() -> np.ndarray:
+    """(MBU, MBU*C8) 0/1: EU[u, u*C8 + c] = 1 — broadcasts a texel-column
+    weight across its channel lanes."""
+    e = np.zeros((MBU, MBU * C8), np.float32)
+    for uu in range(MBU):
+        e[uu, uu * C8:(uu + 1) * C8] = 1.0
+    return e
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_c() -> np.ndarray:
+    """(MBU*C8, C8) 0/1: sums texel columns per channel."""
+    f = np.zeros((MBU * C8, C8), np.float32)
+    for uu in range(MBU):
+        f[uu * C8:(uu + 1) * C8] = np.eye(C8, dtype=np.float32)
+    return f
+
+
+def _material_kernel(scal_ref,              # (NSCAL, ntiles) int32 prefetch
+                     gbuf_ref,              # (tile, >=24) f32
+                     slots_ref,             # (tile, 1) int32
+                     eu_ref, fc_ref,        # static expansion / fold
+                     lists_ref,             # (ntilesP, NWORDS) int32, ANY
+                     *refs,
+                     nl: int, resolution: int, tile: int):
+    page_refs = refs[:nl]
+    out_ref = refs[nl]
+    listbuf = refs[nl + 1]                  # SMEM (8, NWORDS)
+    brick0 = refs[nl + 2]                   # VMEM (2, MBV, MBU*C8) bf16
+    obuf = refs[nl + 3]                     # VMEM (MBV, MBU*C8) bf16
+    lsem = refs[nl + 4]
+    bsem = refs[nl + 5]
+    osem = refs[nl + 6]
+
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def start_dma(src_slice, lvl, bv, bu, buf, sem):
+        for li, ref in enumerate(page_refs):
+            rl = max(resolution >> li, 1)
+            @pl.when(lvl == li)
+            def _():
+                # wrap origin: base mod R_l (power of two -> bitwise AND,
+                # floor-mod for negative bases); 16-alignment survives the
+                # mod since R_l is a multiple of 16 (or the mod is 0)
+                ov = pl.multiple_of(bv & (rl - 1), ALIGN)
+                ou = pl.multiple_of((bu & (rl - 1)) * C8, ALIGN * C8)
+                pltpu.make_async_copy(
+                    ref.at[src_slice, pl.ds(ov, MBV), pl.ds(ou, MBU * C8)],
+                    buf, sem).start()
+
+    def dma0(t, slot):
+        start_dma(scal_ref[1, t], scal_ref[2, t], scal_ref[3, t],
+                  scal_ref[4, t], brick0.at[slot], bsem.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        dma0(0, 0)
+
+    @pl.when(i + 1 < n)
+    def _():
+        dma0(i + 1, (i + 1) % 2)
+
+    g = gbuf_ref[...]
+    uu = g[:, 15:16]
+    qq = 1.0 - g[:, 16:17]
+    slots = slots_ref[...]                  # (tile, 1)
+    eu = eu_ref[...].astype(jnp.bfloat16)
+    fc = fc_ref[...]
+
+    def twohot(t):
+        i0 = jnp.clip(jnp.floor(t), 0.0, float(MBV - 2))
+        f = jnp.clip(t - i0, 0.0, 1.0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tile, MBV), 1)
+        ii = i0.astype(jnp.int32)
+        return (jnp.where(cols == ii, 1.0 - f, 0.0)
+                + jnp.where(cols == ii + 1, f, 0.0)).astype(jnp.bfloat16)
+
+    def taps(b, lvl, bv, bu):
+        """albedo/spec/h0 + the two offset height taps from one brick."""
+        rli = jax.lax.shift_right_logical(jnp.int32(resolution), lvl)
+        rlf = rli.astype(jnp.float32)
+        doff = rlf * (1.0 / resolution)             # 1 level-0 texel
+        tu = uu * rlf - 0.5 - bu.astype(jnp.float32)
+        tv = qq * rlf - 0.5 - bv.astype(jnp.float32)
+
+        def vrow(w):                        # row contraction -> (tile, U*C)
+            return jax.lax.dot_general(
+                w, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        def uexp(w):                        # texel-col weight -> lane weight
+            return jax.lax.dot_general(
+                w, eu, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        def fold(x):                        # (tile, U*C) f32 -> (tile, C)
+            return jax.lax.dot_general(
+                x, fc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        tvv = vrow(twohot(tv))
+        wuc = uexp(twohot(tu))
+        main = fold(tvv * wuc)              # albedo4, spec3, h0
+        hx = fold(tvv * uexp(twohot(tu + doff)))[:, C8 - 1:C8]
+        hy = fold(vrow(twohot(tv - doff)) * wuc)[:, C8 - 1:C8]
+        return jnp.concatenate(
+            [main, hx, hy, jnp.zeros((tile, NOUT - C8 - 2), jnp.float32)],
+            axis=1)
+
+    # fast path: slot 0 (the tile's dominant material), brick prefetched
+    # one grid step ahead
+    slot = i % 2
+    pltpu.make_async_copy(brick0.at[slot], brick0.at[slot],
+                          bsem.at[slot]).wait()
+    cnt = scal_ref[0, i]
+    val0 = taps(brick0[slot], scal_ref[2, i], scal_ref[3, i],
+                scal_ref[4, i])
+    out_ref[...] = jnp.where((slots == 0) & (cnt > 0), val0, 0.0)
+
+    # slow path: tiles with 2+ distinct materials fetch their overflow
+    # entries (synchronous list row + per-slot brick DMA) and merge
+    @pl.when(cnt > 1)
+    def _():
+        grp = pl.multiple_of(8 * (i // 8), 8)
+        pltpu.make_async_copy(lists_ref.at[pl.ds(grp, 8)], listbuf,
+                              lsem).start()
+        pltpu.make_async_copy(lists_ref.at[pl.ds(grp, 8)], listbuf,
+                              lsem).wait()
+        row = i % 8
+
+        def body(s, _):
+            base = 4 * (s - 1)
+            start_dma(listbuf[row, base], listbuf[row, base + 1],
+                      listbuf[row, base + 2], listbuf[row, base + 3],
+                      obuf, osem)
+            pltpu.make_async_copy(obuf, obuf, osem).wait()
+            val = taps(obuf[...], listbuf[row, base + 1],
+                       listbuf[row, base + 2], listbuf[row, base + 3])
+            out_ref[...] = jnp.where(slots == s, val, out_ref[...])
+            return 0
+
+        jax.lax.fori_loop(1, cnt, body, 0)
+
+
+def _material_pallas(gbuf, slots, scalars, lists, pages, resolution: int,
+                     interpret: bool, tile: int) -> Array:
+    n = gbuf.shape[0]
+    ntiles = n // tile
+    assert n % tile == 0, n
+    assert scalars.shape == (ntiles, NSCAL), scalars.shape
+    assert lists.shape[0] >= _ceil_to(ntiles, 8) \
+        and lists.shape[1] == NWORDS, (lists.shape, ntiles)
+    kern = functools.partial(_material_kernel, nl=len(pages),
+                             resolution=resolution, tile=tile)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((tile, gbuf.shape[1]), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((MBU, MBU * C8), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((MBU * C8, C8), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),      # lists
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * len(pages),
+        out_specs=pl.BlockSpec((tile, NOUT), lambda i, s: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((8, NWORDS), jnp.int32),
+            pltpu.VMEM((2, MBV, MBU * C8), jnp.bfloat16),
+            pltpu.VMEM((MBV, MBU * C8), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, NOUT), jnp.float32),
+        interpret=interpret,
+    )(scalars.T, gbuf, slots, jnp.asarray(_expand_u()),
+      jnp.asarray(_fold_c()), lists, *pages)
+
+
+# ---------------------------------------------------------------------------
+# jnp reference (oracle + VJP linearization point)
+# ---------------------------------------------------------------------------
+
+def material_tiles_ref(gbuf: Array, slots: Array, scalars: Array,
+                       lists: Array, pages: Sequence[Array],
+                       resolution: int, tile: int = 256) -> Array:
+    """Pure-jnp mirror: per-pixel level from the tile's slot entry, then a
+    REPEAT-wrapped bilinear fetch of that packed mip page (f32 weights on
+    the bf16-stored texels).  Differentiable w.r.t. gbuf uv and pages."""
+    n = gbuf.shape[0]
+    ntiles = n // tile
+    u = gbuf[:, 15]
+    q = 1.0 - gbuf[:, 16]
+    sl = slots.reshape(-1)
+    over = lists[:ntiles, :4 * (NSLOT - 1)].reshape(ntiles, NSLOT - 1, 4)
+    ent = jnp.concatenate(
+        [scalars[:, None, 1:], over], axis=1)         # (ntiles, NSLOT, 4)
+    pix = jnp.repeat(jnp.arange(ntiles), tile)
+    mt = ent[pix, sl, 0]
+    lvl = ent[pix, sl, 1]
+    cnt = scalars[pix, 0]
+
+    out = jnp.zeros((n, C8 + 2), jnp.float32)
+    for li, page in enumerate(pages):
+        rl = max(resolution >> li, 1)
+        d = 2.0 ** -li
+        p3 = page.astype(jnp.float32)       # (M, V, U*C8)
+
+        def bil(tu, tv):
+            i0 = jnp.floor(tu)
+            j0 = jnp.floor(tv)
+            fu = (tu - i0)[:, None]
+            fv = (tv - j0)[:, None]
+            i0 = jnp.remainder(i0.astype(jnp.int32), rl)
+            j0 = jnp.remainder(j0.astype(jnp.int32), rl)
+
+            def at(jy, ix):
+                return p3[mt[:, None], jy[:, None],
+                          ix[:, None] * C8 + jnp.arange(C8)[None, :]]
+
+            t00 = at(j0, i0)
+            t01 = at(j0, i0 + 1)
+            t10 = at(j0 + 1, i0)
+            t11 = at(j0 + 1, i0 + 1)
+            top = t00 * (1 - fu) + t01 * fu
+            bot = t10 * (1 - fu) + t11 * fu
+            return top * (1 - fv) + bot * fv
+
+        tu = u * rl - 0.5
+        tv = q * rl - 0.5
+        main = bil(tu, tv)
+        hx = bil(tu + d, tv)[:, C8 - 1:C8]
+        hy = bil(tu, tv - d)[:, C8 - 1:C8]
+        val = jnp.concatenate([main, hx, hy], axis=1)
+        out = jnp.where((lvl == li)[:, None], val, out)
+    out = jnp.where((cnt > 0)[:, None], out, 0.0)
+    pad = jnp.zeros((n, NOUT - C8 - 2), jnp.float32)
+    return jnp.concatenate([out, pad], axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _material_call(statics, gbuf, slots, scalars, lists, pages):
+    resolution, interpret, tile = statics
+    return _material_pallas(gbuf, slots, scalars, lists, pages, resolution,
+                            interpret, tile)
+
+
+def _material_fwd(statics, gbuf, slots, scalars, lists, pages):
+    out = _material_call(statics, gbuf, slots, scalars, lists, pages)
+    return out, (gbuf, slots, scalars, lists, pages)
+
+
+def _material_bwd(statics, res, bar):
+    resolution, _interpret, tile = statics
+    gbuf, slots, scalars, lists, pages = res
+
+    def ref(g, pg):
+        return material_tiles_ref(g, slots, scalars, lists, pg, resolution,
+                                  tile)
+
+    _, vjp = jax.vjp(ref, gbuf, pages)
+    dg, dpages = vjp(bar)
+    zslots = np.zeros(slots.shape, jax.dtypes.float0)
+    zscal = np.zeros(scalars.shape, jax.dtypes.float0)
+    zlists = np.zeros(lists.shape, jax.dtypes.float0)
+    return dg, zslots, zscal, zlists, dpages
+
+
+_material_call.defvjp(_material_fwd, _material_bwd)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("resolution", "interpret", "tile"))
+def material_tiles(gbuf: Array,             # (ntiles*tile, >=24) tile-major
+                   slots: Array,            # (ntiles*tile, 1) int32
+                   scalars: Array,          # (ntiles, NSCAL) int32
+                   lists: Array,            # (ceil8(ntiles), NWORDS) int32
+                   pages: Tuple[Array, ...],
+                   *, resolution: int, interpret: bool = False,
+                   tile: int = 256) -> Array:
+    """Per-pixel material fetch: (n, NOUT) f32 rows
+    [albedo rgba, specular rgb, h0, hx, hy, pad].
+
+    pages from atlas_mip_pages; scalars/lists/slots from
+    select_material_bricks.  Level-0 tiles match
+    scene/textures.sample_packed exactly (up to bf16 texel storage);
+    larger-footprint tiles sample the box-filtered mip chain.
+    Differentiable to gbuf uv and the packed pages via the jnp reference
+    (material_tiles_ref) custom VJP.
+    """
+    statics = (int(resolution), bool(interpret), int(tile))
+    return _material_call(statics, gbuf, slots, scalars, lists,
+                          tuple(pages))

@@ -7,9 +7,11 @@ Assembles the interactive camera pass (VERDICT.md round-1 item 1) from:
      origin covering the tile's tap points (ops/tap_pallas.select_bricks)
   3. ops/tap_pallas.py — per-tile brick DMA + MXU trilinear taps for the
      shadow volume and the fused diffuse+specular cone fields
-  4. one corner-packed atlas gather per pixel for albedo/specular/bump
-     (scene/textures.pack_atlas) — or zero gathers for flat-colored scenes
-     (material constants ride the raycast kernel's one-hot matmul)
+  4. ops/material_pallas.py — per-tile atlas-mip-brick DMA + MXU bilinear
+     for albedo/specular/bump heights (replacing the 139 ms/frame XLA
+     per-pixel gather, VERDICT r3 weak #1) — or zero fetches for
+     flat-colored scenes (material constants ride the raycast kernel's
+     one-hot matmul)
   5. shading.combine (VoxelConeTracing.fs:165-228) and image untiling.
 
 Semantics vs the reference path (renderer.render_rays at shadow.mode=
@@ -37,6 +39,8 @@ from vct_tpu.config import VCTConfig
 from vct_tpu.core import cones as C
 from vct_tpu.core import dense as D
 from vct_tpu.core import grid as G
+from vct_tpu.ops import material_pallas as MP
+from vct_tpu.ops import prepass_pallas as PP
 from vct_tpu.ops import raycast_pallas as RP
 from vct_tpu.ops import tap_pallas as TP
 from vct_tpu.render import shading
@@ -60,7 +64,7 @@ class FrameTables:
 
     light_mips: Tuple[Array, ...]        # each (D, max(D,32), D) bf16
     field_mips: Tuple[Array, ...]        # each (D, D, max(D,32), C) bf16
-    packed_atlas: Optional[Array]        # (M, R, R, PACKED_CH) or None
+    atlas_pages: Optional[Tuple[Array, ...]]   # material_pallas mip pages
 
 
 def supported(cfg: VCTConfig) -> bool:
@@ -92,9 +96,11 @@ def build_frame_tables(cfg: VCTConfig, voxels: VoxelState,
         fields.append(voxels.specular_field)
     fused = jnp.concatenate(fields, axis=-1)
     field_mips = TP.pack_field_mips(_mips_to(fused, TP.BRICK_F))
-    packed = TX.pack_atlas(mats.atlas) if mats.atlas is not None else None
+    pages = (MP.atlas_mip_pages(mats.atlas.albedo, mats.atlas.specular,
+                                mats.atlas.height)
+             if mats.atlas is not None else None)
     return FrameTables(light_mips=light_mips, field_mips=field_mips,
-                       packed_atlas=packed)
+                       atlas_pages=pages)
 
 
 def _tile_order(img: Array, hp: int, wp: int) -> Array:
@@ -157,50 +163,47 @@ def render_frame(cfg: VCTConfig,
         g = RP.raycast_stream(d, origin, isect, attrsT, lists, counts,
                               interpret=interpret)
 
-    # 2. per-tile brick selection
+    # 2. fused per-tile prepass: light/field brick selection + per-material
+    # atlas entries + per-pixel material slots, one Pallas pass over the
+    # G-buffer (ops/prepass_pallas.py — the XLA selects measured 75 ms)
     tile = TSY * TSX
     ntiles = g.shape[0] // tile
     voxel = cfg.grid.voxel_world_size
     ws = cfg.grid.world_size
-
-    def tiled(x):
-        return x.reshape((ntiles, tile) + x.shape[1:])
-
     pos = g[:, 0:3]
     nrm = g[:, 3:6]
-    geo = g[:, 6:9]
     hit = g[:, 19] > 0.5
-    p_l = pos + geo * (voxel * cfg.shadow.normal_offset)
-    p_f = pos + nrm * voxel
     light_dims = tuple(m.shape[0] for m in tables.light_mips)
     field_dims = tuple(m.shape[0] for m in tables.field_mips)
-    llev, lorg = TP.select_light_bricks(
-        tiled(G.world_to_uvw(p_l, ws)), tiled(hit), light_dims)
-    flev, forg = TP.select_field_bricks(
-        tiled(G.world_to_uvw(p_f, ws)), tiled(hit), field_dims)
-    scal = jnp.concatenate(
-        [llev[:, None], lorg, flev[:, None], forg], axis=1).astype(jnp.int32)
+    has_atlas = tables.atlas_pages is not None
+    if has_atlas:
+        res = MP.pages_resolution(tables.atlas_pages)
+        nm, nlv = tables.atlas_pages[0].shape[0], len(tables.atlas_pages)
+    else:
+        res, nm, nlv = 16, 1, 1
+    scal, mscal, mlists, mslots = PP.prepass_tiles(
+        g, light_dims=light_dims, field_dims=field_dims,
+        num_materials=nm, resolution=res, atlas_levels=nlv, voxel=voxel,
+        world_size=ws, shadow_offset=cfg.shadow.normal_offset,
+        has_atlas=has_atlas, interpret=interpret, tile=tile)
 
-    # 3. material fetch (one packed row) + bump normal — BEFORE the taps,
-    # so the per-pixel basis weights (which need the bump normal for the
-    # specular reflection dir) ride the tap kernel as inputs
-    if tables.packed_atlas is not None:
-        material = g[:, 17].astype(jnp.int32)
-        res = tables.packed_atlas.shape[1]
-        albedo4, spec, (h0, hx, hy) = TX.sample_packed(
-            tables.packed_atlas, res, material, g[:, 15:17])
+    # 3. material fetch (tile-coherent atlas-brick kernel) + bump normal —
+    # BEFORE the taps, so the per-pixel basis weights (which need the bump
+    # normal for the specular reflection dir) ride the tap kernel as inputs
+    if has_atlas:
+        mout = MP.material_tiles(
+            g, mslots, mscal, mlists, tables.atlas_pages,
+            resolution=res, interpret=interpret, tile=tile)
+        albedo4 = mout[:, 0:4]
+        spec = mout[:, 4:7]
         shade_normal = TX.bump_normal_from_heights(
-            h0, hx, hy, g[:, 9:12], g[:, 12:15], nrm)
+            mout[:, 7], mout[:, 8], mout[:, 9], g[:, 9:12], g[:, 12:15],
+            nrm)
     else:
         albedo4 = g[:, 20:24]
         spec = g[:, 24:27]
         shade_normal = nrm
     spec = shading.spec_gray_fallback(spec)
-    # materialize the gather outputs: left fusable, XLA folds the atlas
-    # gather into the (much larger) downstream elementwise graph and
-    # rematerializes it (traced at 122 + 24 ms remat vs ~25 ms isolated)
-    albedo4, spec, shade_normal = jax.lax.optimization_barrier(
-        (albedo4, spec, shade_normal))
     eye = shading.C.normalize(camera_position - pos)
     nb = cfg.cones.field_basis
 
