@@ -31,14 +31,15 @@ def sync(x):
     return float(jnp.sum(jnp.ravel(x)[:8]))
 
 
-def timeit(name, fn, reps=5):
-    fn()  # compile
-    ts = []
-    for _ in range(reps):
-        t0 = time.time()
+def timeit(name, fn, reps=10):
+    """Queue `reps` async dispatches, sync once: the axon tunnel's ~22 ms
+    readback latency amortizes out (bench.py's NOTE on timing)."""
+    sync(fn())  # compile + settle
+    t0 = time.time()
+    for _ in range(reps - 1):
         fn()
-        ts.append(time.time() - t0)
-    dt = float(np.median(ts))
+    sync(fn())
+    dt = (time.time() - t0) / reps
     log(f"{name:32s} {dt*1e3:8.1f} ms")
     return dt
 
@@ -68,8 +69,7 @@ def main():
 
     rc = jax.jit(lambda d: RP.raycast_gbuf24(d, origin, isect, attrs))
     g = rc(d)
-    sync(g)
-    timeit("raycast_gbuf24", lambda: sync(rc(d)))
+    timeit("raycast_gbuf24", lambda: rc(d))
 
     voxel = cfg.grid.voxel_world_size
     ws = cfg.grid.world_size
@@ -89,14 +89,13 @@ def main():
     def prepass(g):
         return PP.prepass_tiles(
             g, light_dims=ldims, field_dims=fdims,
-            num_materials=tables.atlas_pages[0].shape[0], resolution=res,
-            atlas_levels=len(tables.atlas_pages), voxel=voxel,
+            num_materials=tables.atlas_pages.shape[0], resolution=res,
+            atlas_levels=int(np.log2(res)) + 1, voxel=voxel,
             world_size=ws, shadow_offset=cfg.shadow.normal_offset,
             has_atlas=True, tile=tile)
 
     scal, mscal, mlists, mslots = prepass(g)
-    sync(scal)
-    timeit("fused prepass kernel", lambda: sync(prepass(g)[0]))
+    timeit("fused prepass kernel", lambda: prepass(g)[0])
 
     @jax.jit
     def material(g, mscal, mlists, mslots):
@@ -109,13 +108,14 @@ def main():
         return mout[:, 0:4], mout[:, 4:7], sn
 
     albedo4, spec, sn = material(g, mscal, mlists, mslots)
-    sync(albedo4)
     timeit("material kernel (atlas)",
-           lambda: sync(material(g, mscal, mlists, mslots)[0]))
+           lambda: material(g, mscal, mlists, mslots)[0])
 
     bn = jax.jit(lambda sn: jnp.concatenate(
         [sn, jnp.zeros((sn.shape[0], 1), jnp.float32)], axis=1))(sn)
-    cfield = 4 * cfg.cones.field_basis * 2
+    spec_field = (cfg.cones.trace_specular
+                  and cfg.cones.specular_mode == "field")
+    cfield = 4 * cfg.cones.field_basis * (2 if spec_field else 1)
     nb = cfg.cones.field_basis
     taps_fn = lambda: TP.tap_tiles(
         g, scal, bn, cam, tables.light_mips, tables.field_mips,
@@ -124,10 +124,38 @@ def main():
         power_diffuse=int(cfg.cones.basis_power_diffuse),
         power_specular=int(cfg.cones.basis_power_specular),
         cones_static=F._cones_static(cfg), tile=tile)
-    sync(taps_fn())
-    timeit("tap_tiles kernel", lambda: sync(taps_fn()))
+    timeit("tap_tiles kernel", taps_fn)
 
     taps = taps_fn()
+
+    # exact per-pixel specular cone march (sponza256 specular_mode="percone")
+    if F._spec_percone(cfg):
+        from vct_tpu.ops import specmarch_pallas as SP
+        pos, nrm = g[:, 0:3], g[:, 3:6]
+        hit = g[:, 19] > 0.5
+        eye = shading.C.normalize(cam - pos)
+        refl = shading.reflect_eye(sn, eye)
+        start = pos + nrm * voxel
+        dims = SP.pages_dims(tables.spec_mips)
+        sched = shading.specular_schedule(cfg)
+        groups = SP.plan_groups(sched, len(dims))
+        tiledv = lambda x: x.reshape((ntiles, tile) + x.shape[1:])
+        start4 = jnp.concatenate(
+            [start, hit.astype(jnp.float32)[:, None]], axis=1)
+        refl4 = jnp.concatenate(
+            [refl, jnp.zeros((g.shape[0], 1), jnp.float32)], axis=1)
+
+        @jax.jit
+        def spec_sel(start, refl, hit):
+            return SP.select_spec_bricks(
+                tiledv(start), tiledv(refl), tiledv(hit), groups, dims, ws)
+        slists = spec_sel(start, refl, hit)
+        timeit("spec brick select", lambda: spec_sel(start, refl, hit))
+        spec_fn = lambda: SP.spec_march_tiles(
+            start4, refl4, slists, tables.spec_mips, groups=groups,
+            dims=dims, world_size=ws, max_alpha=cfg.cones.max_alpha,
+            occlusion_falloff=cfg.cones.occlusion_falloff, tile=tile)
+        timeit("spec march kernel", spec_fn)
 
     @jax.jit
     def tail(g, taps, albedo4, spec, sn):
@@ -142,12 +170,10 @@ def main():
             shininess=g[:, 27])
         return F._untile(rgb, hp, wp)[:h, :w]
 
-    sync(tail(g, taps, albedo4, spec, sn))
-    timeit("combine+untile", lambda: sync(tail(g, taps, albedo4, spec, sn)))
+    timeit("combine+untile", lambda: tail(g, taps, albedo4, spec, sn))
 
     frame = lambda: F.render_frame(cfg, ds, tables, mats, origins, dirs, cam)
-    sync(frame())
-    full = timeit("FULL render_frame", lambda: sync(frame()))
+    full = timeit("FULL render_frame", frame)
     log(f"1080p fps: {1.0/full:.2f}")
 
 

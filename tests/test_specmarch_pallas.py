@@ -45,7 +45,9 @@ def _rays(ntiles, seed=1, spread=0.02, miss_frac=0.0):
 
 def _run(mips, start4, refl4, dim):
     pages = SP.pack_spec_mips(mips)
-    dims = tuple(m.shape[0] for m in mips if m.shape[0] >= SP.FLOOR_DIM)
+    dims = SP.pages_dims(pages)
+    assert dims == tuple(
+        m.shape[0] for m in mips if m.shape[0] >= SP.FLOOR_DIM)
     sched = _sched(dim)
     groups = SP.plan_groups(sched, len(dims))
     n = start4.shape[0]
@@ -110,18 +112,21 @@ class TestSpecMarch:
         """Alpha saturates after the first steps; the early-stop must not
         change the composited result."""
         mips = _mips(opaque=True)
-        start4, refl4 = _rays(3, seed=7)
+        start4, refl4 = _rays(4, seed=7)
         out, ref, _ = _run(mips, start4, refl4, 32)
+        # atol covers pixels whose accumulated alpha sits exactly at the
+        # MAX_ALPHA early-out threshold: bf16 vs f32 rounding flips one
+        # step's active mask there (a discrete jump, not an error trend)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   atol=2e-2, rtol=4e-2)
+                                   atol=5e-2, rtol=4e-2)
 
     def test_gradients_match_ref(self):
         mips = _mips(16)
-        start4, refl4 = _rays(1, seed=3)
+        start4, refl4 = _rays(2, seed=3)
         _, _, (lists, pages, groups, dims, kw) = _run(
             mips, start4, refl4, 16)
         rng = np.random.default_rng(9)
-        tgt = jnp.asarray(rng.uniform(0, 1, (TILE, 4)), jnp.float32)
+        tgt = jnp.asarray(rng.uniform(0, 1, (2 * TILE, 4)), jnp.float32)
 
         def loss_k(pg):
             o = SP.spec_march_tiles(start4, refl4, lists, pg,

@@ -224,10 +224,26 @@ def preset(name: str) -> VCTConfig:
     if name == "sponza256":
         # Config 3: Sponza-class scene, shadow cones, 256^3 grid, 1080p.
         # Field-mode GI: the TPU-native fast path (volume shadows + basis
-        # fields); percone remains available for parity runs.
+        # fields).  specular_mode="percone" swaps the basis-field
+        # approximation (mirror cones are basis-limited: rel-RMS 0.63 at
+        # 26 dirs, FIDELITY_r03) for the EXACT per-pixel specular cone
+        # march kernel (ops/specmarch_pallas) — which also drops the
+        # specular field build — at ~650 ms/frame at 1080p (the march is
+        # compute-bound at ~29 quadrilinear taps/pixel); see
+        # preset("sponza256_exact_specular").
         return VCTConfig(
             grid=GridConfig(dim=256, compute="bfloat16"),
             cones=ConeSetConfig(diffuse_mode="field", specular_mode="field"),
+            render=RenderConfig(width=1920, height=1080),
+        )
+    if name == "sponza256_exact_specular":
+        # sponza256 with the exact per-pixel specular march (fidelity
+        # over frame rate; FIDELITY_r04 measures it at the north-star
+        # image-error target the 26-direction field cannot reach).
+        return VCTConfig(
+            grid=GridConfig(dim=256, compute="bfloat16"),
+            cones=ConeSetConfig(diffuse_mode="field",
+                                specular_mode="percone"),
             render=RenderConfig(width=1920, height=1080),
         )
     if name == "inverse":

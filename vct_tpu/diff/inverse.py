@@ -156,8 +156,17 @@ def make_loss_fn(
         mats2, voxels = _apply_params(inv, cfg, params, samples, mats)
         if inv.camera_pass == "fast":
             from vct_tpu.render import fast as F
+            from vct_tpu.ops import raycast_pallas as RP
             assert F.supported(cfg), (
                 "camera_pass='fast' needs volume shadows + field cones")
+            # render_frame switches to raycast_stream above 2*TCHUNK
+            # triangles, which has no VJP — jax.grad would fail at trace
+            # time with an opaque error (ADVICE r3)
+            assert ds.v0.shape[0] <= 2 * RP.TCHUNK, (
+                f"camera_pass='fast' is differentiable only up to "
+                f"{2 * RP.TCHUNK} triangles (the whole-table raycast "
+                f"kernel); this scene has {ds.v0.shape[0]} — use "
+                f"camera_pass='xla'")
             tables = F.build_frame_tables(cfg, voxels, mats2)
             img = F.render_frame(
                 cfg, ds, tables, mats2, origins, dirs, camera_position,

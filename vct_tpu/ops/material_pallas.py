@@ -80,37 +80,45 @@ def _ceil_to(n: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 def atlas_mip_pages(albedo: Array, specular: Array, height: Array
-                    ) -> Tuple[Array, ...]:
-    """Atlas pages (M,R,R,4)/(M,R,R,3)/(M,R,R,1) -> per-level packed pages.
+                    ) -> Array:
+    """Atlas pages (M,R,R,4)/(M,R,R,3)/(M,R,R,1) -> ONE packed mip array.
 
     Level l is the 2^l-fold 2x2 box filter of level 0 (glGenerateMipmap
-    semantics, Model.h:171), stored (M, V_l, U_l*8) bf16 with wrap rows /
-    columns appended (see module header).  R must be a power of two >= 16.
+    semantics, Model.h:171).  All levels share the level-0 page extents
+    (V0 = R + 32 rows, U0*8 lanes) and stack along rows — level l starts
+    at row l*V0 — so the kernel's brick DMA source address is PURE
+    ARITHMETIC (row = l*V0 + origin): no per-level branch dispatch, which
+    measured ~2.5 us/tile of scf.if overhead.  Wrap rows/columns baked in
+    (row v of level l holds texel row v mod R_l).  Coarse levels waste
+    rows (~3x memory vs tight packing; 12 MB/material at R=256) — an
+    explicit latency-for-memory trade.  R must be a power of two >= 16.
     """
     m, r, _, _ = albedo.shape
     assert r >= 16 and (r & (r - 1)) == 0, f"atlas resolution {r}"
     fused = jnp.concatenate([albedo, specular, height], axis=-1)  # (M,R,R,8)
+    v0 = _ceil_to(r + MBV, ALIGN)
     pages = []
     level = fused
     rl = r
     while True:
-        v = _ceil_to(rl + MBV, ALIGN)
-        rows = jnp.arange(v) % rl
+        rows = jnp.arange(v0) % rl
         page = jnp.take(jnp.take(level, rows, axis=1), rows, axis=2)
-        pages.append(page.reshape(m, v, v * C8).astype(jnp.bfloat16))
+        pages.append(page.reshape(m, v0, v0 * C8))
         if rl == 1:
             break
         level = 0.25 * (level[:, 0::2, 0::2] + level[:, 0::2, 1::2]
                         + level[:, 1::2, 0::2] + level[:, 1::2, 1::2])
         rl //= 2
-    return tuple(pages)
+    return jnp.concatenate(pages, axis=1).astype(jnp.bfloat16)
 
 
-def pages_resolution(pages: Sequence[Array]) -> int:
-    """Recover the level-0 atlas resolution from packed page shapes."""
-    u0 = pages[0].shape[2] // C8
+def pages_resolution(pages: Array) -> int:
+    """Recover the level-0 atlas resolution from the packed mip array."""
+    u0 = pages.shape[2] // C8
     r = u0 - MBV
-    assert r >= 16 and _ceil_to(r + MBV, ALIGN) == u0, pages[0].shape
+    assert r >= 16 and _ceil_to(r + MBV, ALIGN) == u0, pages.shape
+    nlev = int(np.log2(r)) + 1
+    assert pages.shape[1] == nlev * u0, pages.shape
     return r
 
 
@@ -237,33 +245,29 @@ def _material_kernel(scal_ref,              # (NSCAL, ntiles) int32 prefetch
                      slots_ref,             # (tile, 1) int32
                      eu_ref, fc_ref,        # static expansion / fold
                      lists_ref,             # (ntilesP, NWORDS) int32, ANY
-                     *refs,
-                     nl: int, resolution: int, tile: int):
-    page_refs = refs[:nl]
-    out_ref = refs[nl]
-    listbuf = refs[nl + 1]                  # SMEM (8, NWORDS)
-    brick0 = refs[nl + 2]                   # VMEM (2, MBV, MBU*C8) bf16
-    obuf = refs[nl + 3]                     # VMEM (MBV, MBU*C8) bf16
-    lsem = refs[nl + 4]
-    bsem = refs[nl + 5]
-    osem = refs[nl + 6]
-
+                     page_ref,              # (M, L*V0, V0*C8) bf16, ANY
+                     out_ref, listbuf, brick0, obuf, lsem, bsem, osem,
+                     *, resolution: int, tile: int):
     i = pl.program_id(0)
     n = pl.num_programs(0)
+    v0 = _ceil_to(resolution + MBV, ALIGN)
 
-    def start_dma(src_slice, lvl, bv, bu, buf, sem):
-        for li, ref in enumerate(page_refs):
-            rl = max(resolution >> li, 1)
-            @pl.when(lvl == li)
-            def _():
-                # wrap origin: base mod R_l (power of two -> bitwise AND,
-                # floor-mod for negative bases); 16-alignment survives the
-                # mod since R_l is a multiple of 16 (or the mod is 0)
-                ov = pl.multiple_of(bv & (rl - 1), ALIGN)
-                ou = pl.multiple_of((bu & (rl - 1)) * C8, ALIGN * C8)
-                pltpu.make_async_copy(
-                    ref.at[src_slice, pl.ds(ov, MBV), pl.ds(ou, MBU * C8)],
-                    buf, sem).start()
+    def start_dma(mt, lvl, bv, bu, buf, sem):
+        # wrap origin: base mod R_l (power of two -> bitwise AND,
+        # floor-mod for negative bases); 16-alignment survives the mod
+        # since R_l is a multiple of 16 (or the mod is 0).  All levels
+        # share the V0-row page extent, so the source row is arithmetic
+        # (lvl*V0 + origin) — no per-level branching.
+        rl1 = jax.lax.shift_right_logical(
+            jnp.int32(resolution), lvl) - 1     # R_l - 1 (R_l >= 1)
+        rl1 = jnp.maximum(rl1, 0)
+        row = lvl * v0 + (bv & rl1)
+        lane = (bu & rl1) * C8
+        pltpu.make_async_copy(
+            page_ref.at[mt, pl.ds(pl.multiple_of(row, ALIGN), MBV),
+                        pl.ds(pl.multiple_of(lane, ALIGN * C8),
+                              MBU * C8)],
+            buf, sem).start()
 
     def dma0(t, slot):
         start_dma(scal_ref[1, t], scal_ref[2, t], scal_ref[3, t],
@@ -365,8 +369,8 @@ def _material_pallas(gbuf, slots, scalars, lists, pages, resolution: int,
     assert scalars.shape == (ntiles, NSCAL), scalars.shape
     assert lists.shape[0] >= _ceil_to(ntiles, 8) \
         and lists.shape[1] == NWORDS, (lists.shape, ntiles)
-    kern = functools.partial(_material_kernel, nl=len(pages),
-                             resolution=resolution, tile=tile)
+    kern = functools.partial(_material_kernel, resolution=resolution,
+                             tile=tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
@@ -380,7 +384,8 @@ def _material_pallas(gbuf, slots, scalars, lists, pages, resolution: int,
             pl.BlockSpec((MBU * C8, C8), lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),      # lists
-        ] + [pl.BlockSpec(memory_space=pl.ANY)] * len(pages),
+            pl.BlockSpec(memory_space=pl.ANY),      # packed mip pages
+        ],
         out_specs=pl.BlockSpec((tile, NOUT), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -398,7 +403,7 @@ def _material_pallas(gbuf, slots, scalars, lists, pages, resolution: int,
         out_shape=jax.ShapeDtypeStruct((n, NOUT), jnp.float32),
         interpret=interpret,
     )(scalars.T, gbuf, slots, jnp.asarray(_expand_u()),
-      jnp.asarray(_fold_c()), lists, *pages)
+      jnp.asarray(_fold_c()), lists, pages)
 
 
 # ---------------------------------------------------------------------------
@@ -406,7 +411,7 @@ def _material_pallas(gbuf, slots, scalars, lists, pages, resolution: int,
 # ---------------------------------------------------------------------------
 
 def material_tiles_ref(gbuf: Array, slots: Array, scalars: Array,
-                       lists: Array, pages: Sequence[Array],
+                       lists: Array, pages: Array,
                        resolution: int, tile: int = 256) -> Array:
     """Pure-jnp mirror: per-pixel level from the tile's slot entry, then a
     REPEAT-wrapped bilinear fetch of that packed mip page (f32 weights on
@@ -425,10 +430,12 @@ def material_tiles_ref(gbuf: Array, slots: Array, scalars: Array,
     cnt = scalars[pix, 0]
 
     out = jnp.zeros((n, C8 + 2), jnp.float32)
-    for li, page in enumerate(pages):
+    v0 = _ceil_to(resolution + MBV, ALIGN)
+    nlev = pages.shape[1] // v0
+    for li in range(nlev):
         rl = max(resolution >> li, 1)
         d = 2.0 ** -li
-        p3 = page.astype(jnp.float32)       # (M, V, U*C8)
+        p3 = pages[:, li * v0:(li + 1) * v0].astype(jnp.float32)
 
         def bil(tu, tv):
             i0 = jnp.floor(tu)
@@ -499,7 +506,7 @@ def material_tiles(gbuf: Array,             # (ntiles*tile, >=24) tile-major
                    slots: Array,            # (ntiles*tile, 1) int32
                    scalars: Array,          # (ntiles, NSCAL) int32
                    lists: Array,            # (ceil8(ntiles), NWORDS) int32
-                   pages: Tuple[Array, ...],
+                   pages: Array,
                    *, resolution: int, interpret: bool = False,
                    tile: int = 256) -> Array:
     """Per-pixel material fetch: (n, NOUT) f32 rows
@@ -513,5 +520,4 @@ def material_tiles(gbuf: Array,             # (ntiles*tile, >=24) tile-major
     (material_tiles_ref) custom VJP.
     """
     statics = (int(resolution), bool(interpret), int(tile))
-    return _material_call(statics, gbuf, slots, scalars, lists,
-                          tuple(pages))
+    return _material_call(statics, gbuf, slots, scalars, lists, pages)

@@ -256,6 +256,11 @@ def _raycast_bwd(interpret, res, bar):
     ref).  Geometry inputs (dirs/origin/isect) get zero cotangents: hit
     topology is a step function, matching the reference's
     non-differentiable rasterizer (VoxelConeTracing.vs + hardware raster).
+
+    MEMORY BOUND: the replay materializes (N, Tp) f32 intermediates —
+    at 1080p x 2048 triangles that is tens of GB.  Sized for the
+    inverse-rendering images (<= ~256^2 rays); diff/inverse.py guards
+    the scene size.  Chunk over rays before lifting that guard.
     """
     dirs, origin, isect, attrs = res
     _, vjp = jax.vjp(lambda at: raycast_ref(dirs, origin, isect, at), attrs)
@@ -319,7 +324,8 @@ def _raycast_pallas(dirs: Array, origin: Array, isect: Array, attrs: Array,
 # sized runs are spatially compact; an XLA prepass bounds each chunk with a
 # sphere and each 256-ray tile with a direction cone (shared pinhole
 # origin), keeps chunks whose sphere touches the cone (conservative — the
-# kernel's output is bit-identical to brute force), and compacts the
+# kernel's output matches brute force except tie-breaking on exact-equal
+# t across chunks, which follows near-sorted list order), and compacts the
 # surviving chunk ids into per-tile lists.  The kernel streams each tile's
 # listed chunks through double-buffered VMEM scratch with a dynamic-bound
 # fori, computing exactly the whole-table kernel's math per chunk.
@@ -395,8 +401,8 @@ def select_chunks(dirs: Array, spheres: Array) -> Tuple[Array, Array]:
     axis = jnp.sum(dirs, axis=1)
     axis = axis / jnp.maximum(
         jnp.linalg.norm(axis, axis=1, keepdims=True), 1e-12)
-    cos_a = jnp.clip(jnp.min(jnp.einsum("ntk,nk->nt", dirs, axis), axis=1),
-                     1e-4, 1.0)                                 # (nrt,)
+    min_dot = jnp.min(jnp.einsum("ntk,nk->nt", dirs, axis), axis=1)
+    cos_a = jnp.clip(min_dot, 1e-4, 1.0)                        # (nrt,)
     sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
     v = spheres[:, :3]                                          # (nchunk, 3)
     r = spheres[:, 3]
@@ -405,6 +411,10 @@ def select_chunks(dirs: Array, spheres: Array) -> Tuple[Array, Array]:
     perp = jnp.sqrt(jnp.maximum(vv - along * along, 0.0))
     dist = cos_a[:, None] * perp - sin_a[:, None] * along
     keep = (dist <= r[None, :]) & (along >= -r[None, :])
+    # a tile whose rays spread past 90 degrees from the mean axis has no
+    # valid bounding cone — keep every chunk rather than cull wrongly
+    # (pinhole tiles never hit this; ADVICE r3)
+    keep = keep | (min_dot <= 0.0)[:, None]
     counts = jnp.sum(keep, axis=1).astype(jnp.int32)
 
     # FRONT-TO-BACK: surviving chunks sorted by conservative near
@@ -596,7 +606,10 @@ def raycast_stream(dirs: Array, origin: Array, isect: Array, attrsT: Array,
     assert tp % CHUNK == 0, tp
     nchunk = tp // CHUNK
     ncp = lists.shape[1]
-    assert lists.shape[0] >= n // TILE and ncp % 128 == 0 \
+    # the kernel copies 8-row list groups, so the row count must cover
+    # the last tile's group (select_chunks pads; ADVICE r3)
+    nrt8 = -(-(n // TILE) // 8) * 8
+    assert lists.shape[0] >= nrt8 and ncp % 128 == 0 \
         and ncp >= nchunk, (lists.shape, n, nchunk)
     kern = functools.partial(_stream_kernel, nchunk=ncp, eps=1e-7,
                              tmin_eps=1e-4)

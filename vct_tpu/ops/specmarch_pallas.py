@@ -13,36 +13,43 @@ specular half of the voxel build (26 directions x the longest schedule,
 the dominant build cost, VERDICT r3 item 6).
 
 TPU-native structure (the ops/tap_pallas.py playbook, applied per march
-step instead of per single tap):
+step group instead of per single tap):
 
   * The schedule's steps are statically grouped into runs of equal
     floor(lod) with a bounded along-ray span (plan_groups).  A 16x16
     image tile's 256 reflection rays are coherent, and the cone's lateral
     spread grows with distance exactly as the mip cell size does — so one
-    (8, 8, 32)-cell brick per (tile, group) covers every sample point of
-    the group's steps at the group's own mip level.
-  * An XLA prepass (select_spec_bricks) bounds each (tile, group)'s
-    sample AABB and picks the finest level >= the schedule's floor(lod)
-    whose footprint fits the brick (the coarsest packed level, 8^3, holds
-    the whole grid, so every tile fits by construction); the kernel DMAs
-    the brick pair (level L and L+1 for the quadrilinear mip lerp),
-    double-buffered across groups.
-  * Each step's trilinear tap is a two-hot-weight contraction on the MXU;
-    the mip lerp keeps the schedule's static fraction when L equals the
-    schedule level and degrades to the pure-L tap when the footprint
-    forced a coarser level (the same footprint-driven lod fallback the
-    tap kernel documents).
-  * The march early-out is enforced per pixel (masked transmittance) AND
-    per tile: once every ray's accumulated alpha passes MAX_ALPHA the
-    remaining groups' DMAs and compute are skipped.
+    (8 x 8-ish x 32)-cell brick per (tile, group) covers every sample
+    point of the group's steps at the group's own mip level.
+  * An XLA prepass (select_spec_bricks) interval-bounds each
+    (tile, group)'s samples and picks the finest level >= the schedule's
+    floor(lod) whose footprint fits the brick (the coarsest packed level,
+    8^3, holds the whole grid, so every tile fits by construction).
+  * LATENCY SHAPE (the r4 lesson): a first cut marched step-by-step —
+    ~700 dependent small ops per tile = 550 ms/frame.  This version
+    (a) issues EVERY group's brick DMA up front from ONE concatenated
+    page array whose source address is pure arithmetic (no per-level
+    branching), (b) evaluates ALL of a group's steps as stacked-row
+    two-hot matmuls against the group brick (one matmul chain per group
+    instead of per step), (c) runs the sequential front-to-back
+    composite on the batched per-step taps, and (d) processes GT=2
+    tiles per grid step to halve the per-op overhead.
+  * Early-out: per pixel via masked transmittance, per grid step via a
+    stop flag that skips remaining groups' COMPUTE once every ray's
+    alpha passes MAX_ALPHA (their DMAs were already in flight; the
+    semaphores are still drained).
 
-MOSAIC LAYOUT: a radiance level (D, D, D, 4) packs as (2, D, D, ZL*4)
-bf16 with z and channel fused into lanes (ZL = max(D, 32), z zero-padded)
-— x/y are free leading dims; a 32-cell z window is 128 lanes, so lane
-slicing allows z origins that are multiples of 32 only.  The second copy
-stores the volume z-shifted by 16 cells, giving the kernel 16-cell origin
-granularity (copy = (oz/16) & 1) at 2x memory — the alignment loss then
-caps usable z footprints at 14 cells, matching the prepass threshold.
+MOSAIC LAYOUT: the radiance pyramid packs as ONE bf16 array
+(2, XT, Y0, ZC) with levels stacked along x (XT = sum of level dims;
+level l starts at x = 2*D0 - 2*(D0 >> l)) and every level padded to the
+shared trailing extents Y0 = D0 + 24, ZC = max(D0, 32) * 4 (z fused with
+the 4 channels into lanes).  The LAST TWO dims are Mosaic-tiled: y
+origins must be 16-aligned (hence the 24-row window + pad rows), and
+lane slicing allows z origins that are multiples of 32 cells only — the
+second copy (leading dim) stores the volume z-shifted by 16 cells,
+giving 16-cell z-origin granularity (copy = (oz/16) & 1).  x is a free
+leading dim.  The alignment losses cap usable footprints at 6 (x/y) and
+14 (z) cells, matching the prepass thresholds.
 """
 
 from __future__ import annotations
@@ -60,8 +67,10 @@ from vct_tpu.core import march as M
 
 Array = jax.Array
 
-BX = 8            # brick x cells (free origin, leading dim)
-BY = 8            # brick y cells (free origin, leading dim)
+BX = 8            # brick x cells (free origin: x is a leading dim)
+BY = 24           # brick y cells (y is the SUBLANE-tiled dim: 16-aligned
+                  # origin loses up to 15 rows, 24-extent covers 6+2)
+YALIGN = 16       # y-origin granularity (bf16 sublane tiling)
 BZ = 32           # brick z cells = 128 lanes with the 4 channels
 ZALIGN = 16       # z-origin granularity (via the shifted second copy)
 ZTHRESH = 14      # max z footprint: 32 - (ZALIGN-1) - 1 trilinear corner
@@ -70,40 +79,71 @@ FLOOR_DIM = 8     # coarsest packed level; its brick holds the whole grid
 GWORDS = 7        # list words per group: L, ox, oy, oz, ox1, oy1, oz1
 NWORDS = 128      # list row width; caps groups at 18
 NC = 4            # rgba radiance channels
+GT = 1            # image tiles per grid step.  GT>1 does NOT help: the
+                  # kernel is compute-bound on its (rows, 192) tap chains
+                  # (op time scales with rows), and wider batches only
+                  # inflate scoped VMEM
 
 
 def _ceil_to(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def _level_dims(d0: int) -> Tuple[int, ...]:
+    out = []
+    d = d0
+    while d >= FLOOR_DIM:
+        out.append(d)
+        d //= 2
+    return tuple(out)
+
+
+def _xbase(d0: int, lv: int) -> int:
+    """Row where level lv starts in the x-concatenated page array."""
+    return 2 * d0 - 2 * (d0 >> lv)
+
+
 # ---------------------------------------------------------------------------
 # packing + static planning
 # ---------------------------------------------------------------------------
 
-def pack_spec_mips(mips: Sequence[Array]) -> Tuple[Array, ...]:
-    """Isotropic radiance mips (D,D,D,4) f32 -> per-level (2, D, D, ZL*4)
-    bf16 (see module header).  Packs levels down to FLOOR_DIM."""
-    out = []
-    for m in mips:
-        d = m.shape[0]
-        if d < FLOOR_DIM:
-            break
-        zl = max(d, BZ)
-        c0 = m
-        c1 = m[:, :, ZALIGN:]
-        def padz(x):
-            pz = zl - x.shape[2]
-            if pz:
-                x = jnp.pad(x, ((0, 0), (0, 0), (0, pz), (0, 0)))
-            return x
-        packed = jnp.stack([padz(c0), padz(c1)], axis=0)     # (2,D,D,ZL,4)
-        out.append(packed.reshape(2, d, d, zl * NC).astype(jnp.bfloat16))
-    return tuple(out)
+def pack_spec_mips(mips: Sequence[Array]) -> Array:
+    """Isotropic radiance mips (D,D,D,4) f32 -> ONE (2, XT, Y0, ZC) bf16
+    array (see module header).  Packs levels down to FLOOR_DIM."""
+    d0 = mips[0].shape[0]
+    dims = _level_dims(d0)
+    y0 = d0 + BY
+    zc = max(d0, BZ)
+    parts0, parts1 = [], []
+    for li, d in enumerate(dims):
+        m = mips[li]
+        assert m.shape[0] == d, (m.shape, dims)
+        c0 = jnp.pad(m, ((0, 0), (0, y0 - d), (0, zc - d), (0, 0)))
+        cs = m[:, :, min(ZALIGN, d):]
+        c1 = jnp.pad(cs, ((0, 0), (0, y0 - d), (0, zc - cs.shape[2]),
+                          (0, 0)))
+        parts0.append(c0)
+        parts1.append(c1)
+    p0 = jnp.concatenate(parts0, axis=0)              # (XT, Y0, ZC, 4)
+    p1 = jnp.concatenate(parts1, axis=0)
+    packed = jnp.stack([p0, p1], axis=0)              # (2, XT, Y0, ZC, 4)
+    xt = p0.shape[0]
+    return packed.reshape(2, xt, y0, zc * NC).astype(jnp.bfloat16)
+
+
+def pages_dims(pages: Array) -> Tuple[int, ...]:
+    """Recover the packed level dims from the page array shape."""
+    d0 = pages.shape[2] - BY
+    dims = _level_dims(d0)
+    assert pages.shape[1] == sum(dims), (pages.shape, dims)
+    return dims
 
 
 @functools.lru_cache(maxsize=None)
 def plan_groups(schedule: M.MarchSchedule, num_levels: int,
-                span_cells: float = 4.0, max_group: int = 8):
+                span_cells: float = 4.0, max_group: int = 4):
+    # max_group bounds the stacked-row tap intermediates ((K*tile, 192)
+    # and friends) that dominate the kernel's scoped VMEM
     """Static step grouping: runs of equal floor(lod) (clamped into the
     packed stack) whose along-ray span stays within span_cells of the
     group's mip cell size.  Returns a tuple of groups, each
@@ -123,7 +163,7 @@ def plan_groups(schedule: M.MarchSchedule, num_levels: int,
                           schedule.diameters[k]))
     if cur_steps:
         groups.append((cur_l0, tuple(cur_steps)))
-    assert len(groups) * GWORDS + 0 <= NWORDS, len(groups)
+    assert len(groups) * GWORDS <= NWORDS, len(groups)
     return tuple(groups)
 
 
@@ -140,21 +180,32 @@ def select_spec_bricks(start: Array,        # (ntiles, tile, 3) world
     """Brick lists (ceil8(ntiles), NWORDS) int32; per group g words
     [7g .. 7g+6] = (packed level L, brick origin at L (x,y,z),
     brick origin at min(L+1, last) (x,y,z)).  Origins are cell indices;
-    z origins are ZALIGN-granular."""
+    y origins YALIGN-granular, z origins ZALIGN-granular."""
     ntiles = start.shape[0]
     big = jnp.float32(3e38)
     vm = valid[..., None]
     nlev = len(dims)
 
+    # per-tile interval bounds ONCE (4 masked reductions), then per-group
+    # AABBs by interval arithmetic over the distance range — s + d*r is
+    # linear in d, so extremes sit at the group's end distances.  Slightly
+    # conservative vs the exact per-step AABB (a larger box can only pick
+    # a coarser level, which stays correct), and O(ntiles) per group
+    # instead of O(pixels x steps).
+    s_lo = jnp.min(jnp.where(vm, start, big), axis=1)       # (ntiles, 3)
+    s_hi = jnp.max(jnp.where(vm, start, -big), axis=1)
+    r_lo = jnp.min(jnp.where(vm, refl, big), axis=1)
+    r_hi = jnp.max(jnp.where(vm, refl, -big), axis=1)
+
     words = []
     for l0g, steps in groups:
-        # group AABB over steps x valid pixels, in uvw
-        dists = jnp.asarray([s[0] for s in steps], jnp.float32)
-        pts = start[:, :, None, :] + dists[None, None, :, None] \
-            * refl[:, :, None, :]                    # (ntiles, tile, K, 3)
-        uvw = pts / (world_size * 0.5) * 0.5 + 0.5
-        umin = jnp.min(jnp.where(vm[:, :, None], uvw, big), axis=(1, 2))
-        umax = jnp.max(jnp.where(vm[:, :, None], uvw, -big), axis=(1, 2))
+        da, db = steps[0][0], steps[-1][0]
+        p_lo = s_lo + jnp.minimum(da * r_lo, db * r_lo)
+        p_hi = s_hi + jnp.maximum(da * r_hi, db * r_hi)
+        umin = p_lo / (world_size * 0.5) * 0.5 + 0.5
+        umax = p_hi / (world_size * 0.5) * 0.5 + 0.5
+        umin = jnp.clip(umin, -1e30, 1e30)
+        umax = jnp.clip(umax, -1e30, 1e30)
 
         fits, origins = [], []
         for lv in range(l0g, nlev):
@@ -201,14 +252,16 @@ def select_spec_bricks(start: Array,        # (ntiles, tile, 3) world
 
 def _origins(lo: Array, d: int) -> Array:
     ox = jnp.clip(lo[:, 0], 0, max(d - BX, 0))
-    oy = jnp.clip(lo[:, 1], 0, max(d - BY, 0))
+    # y pages are padded to d + BY rows, so any aligned origin < d fits
+    oy = jnp.clip(YALIGN * jnp.floor(lo[:, 1] / YALIGN), 0,
+                  max(d - 1, 0))
     oz = jnp.clip(ZALIGN * jnp.floor(lo[:, 2] / ZALIGN), 0,
                   max(d, BZ) - BZ)
     return jnp.stack([ox, oy, oz], axis=1).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
-# kernel helpers
+# the kernel
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
@@ -224,61 +277,80 @@ def _expansions() -> Tuple[np.ndarray, ...]:
     return ex, ey, ez, fc
 
 
-def _twohot(t: Array, extent: int, tile: int) -> Array:
-    """(tile, 1) local cell coords -> (tile, extent) bf16 lerp weights."""
+def _twohot(t: Array, extent: int) -> Array:
+    """(n, 1) local cell coords -> (n, extent) bf16 lerp weights."""
+    n = t.shape[0]
     i0 = jnp.clip(jnp.floor(t), 0.0, float(extent - 2))
     f = jnp.clip(t - i0, 0.0, 1.0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (tile, extent), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, extent), 1)
     ii = i0.astype(jnp.int32)
     return (jnp.where(cols == ii, 1.0 - f, 0.0)
             + jnp.where(cols == ii + 1, f, 0.0)).astype(jnp.bfloat16)
 
 
-def _spec_kernel(start_ref, refl_ref,       # (tile, 4) f32
+KPAD = 4          # uniform steps per group (plan_groups max_group);
+                  # groups pad with zero-contribution dummy steps so the
+                  # group loop is ONE lax.fori region — python-unrolled
+                  # group bodies each got their own Mosaic stack
+                  # allocation and blew the 16 MB scoped-VMEM limit
+
+
+def group_tables(groups, occlusion_falloff: float):
+    """Static (ng, KPAD) step tables + (ng,) schedule levels for the
+    fori-based kernel: dist, mip weight, occlusion attenuation, valid."""
+    ng = len(groups)
+    dt = np.zeros((ng, KPAD), np.float32)
+    wt = np.zeros((ng, KPAD), np.float32)
+    at = np.ones((ng, KPAD), np.float32)
+    vt = np.zeros((ng, KPAD), np.float32)
+    l0 = np.zeros((ng,), np.int32)
+    for g, (l0g, steps) in enumerate(groups):
+        assert len(steps) <= KPAD, (g, len(steps))
+        l0[g] = l0g
+        for k, (dist, w, diam) in enumerate(steps):
+            dt[g, k] = dist
+            wt[g, k] = w
+            at[g, k] = 1.0 / (1.0 + occlusion_falloff * diam)
+            vt[g, k] = 1.0
+    return dt, wt, at, vt, l0
+
+
+def _spec_kernel(dtab_ref, wtab_ref, atab_ref, vtab_ref, l0tab_ref,  # SMEM
+                 start_ref, refl_ref,       # (GT*tile, 4) f32
                  ex_ref, ey_ref, ez_ref, fc_ref,
                  lists_ref,                 # (ntilesP, NWORDS) int32 ANY
-                 *refs,
-                 groups, dims: Tuple[int, ...], world_size: float,
-                 max_alpha: float, occlusion_falloff: float, tile: int):
+                 pages_ref,                 # (2, XT, Y0, ZC) bf16 ANY
+                 out_ref,                   # (GT*tile, NC)
+                 listbuf,                   # SMEM (8, NWORDS)
+                 stop_ref,                  # SMEM (1,)
+                 bricks,                    # VMEM (GT, ng, 2, BX, BY, BZNC)
+                 acc,                       # VMEM (GT*tile, 8)
+                 lsem, bsem,
+                 *, ng: int, g_mip: int, dims: Tuple[int, ...],
+                 world_size: float, max_alpha: float, tile: int):
     nl = len(dims)
-    page_refs = refs[:nl]
-    out_ref = refs[nl]
-    listbuf = refs[nl + 1]                  # SMEM (8, NWORDS)
-    stop_ref = refs[nl + 2]                 # SMEM (1,)
-    b0 = refs[nl + 3]                       # VMEM (2, BX, BY, BZ*NC) bf16
-    b1 = refs[nl + 4]
-    s0 = refs[nl + 5]
-    s1 = refs[nl + 6]
+    d0 = dims[0]
 
     i = pl.program_id(0)
-    grp = pl.multiple_of(8 * (i // 8), 8)
-    pltpu.make_async_copy(lists_ref.at[pl.ds(grp, 8)], listbuf,
-                          s0.at[0]).start()
-    pltpu.make_async_copy(lists_ref.at[pl.ds(grp, 8)], listbuf,
-                          s0.at[0]).wait()
-    row = i % 8
+    base_row = GT * i                       # GT divides 8: same list group
+    grp = pl.multiple_of(8 * (base_row // 8), 8)
+    pltpu.make_async_copy(lists_ref.at[pl.ds(grp, 8)], listbuf, lsem).start()
+    pltpu.make_async_copy(lists_ref.at[pl.ds(grp, 8)], listbuf, lsem).wait()
+    r0 = base_row % 8
 
-    def words(g):
+    def words(t, g):
         base = GWORDS * g
-        return tuple(listbuf[row, base + k] for k in range(GWORDS))
+        return tuple(listbuf[r0 + t, base + k] for k in range(GWORDS))
 
-    def one_dma(ref, ox, oy, oz, buf, sem):
+    def one_dma(lv, ox, oy, oz, buf, sem):
+        xb = 2 * d0 - 2 * jax.lax.shift_right_logical(jnp.int32(d0), lv)
         cp = jax.lax.shift_right_logical(oz, 4) & 1
         lane = (oz - ZALIGN * cp) * NC
         pltpu.make_async_copy(
-            ref.at[cp, pl.ds(ox, BX), pl.ds(oy, BY),
-                   pl.ds(pl.multiple_of(lane, BZ * NC), BZ * NC)],
+            pages_ref.at[cp, pl.ds(xb + ox, BX),
+                         pl.ds(pl.multiple_of(oy, YALIGN), BY),
+                         pl.ds(pl.multiple_of(lane, BZ * NC), BZ * NC)],
             buf, sem).start()
-
-    def group_dma(g, slot):
-        lv, ox, oy, oz, ox1, oy1, oz1 = words(g)
-        for li in range(nl):
-            l1 = min(li + 1, nl - 1)
-            @pl.when(lv == li)
-            def _():
-                one_dma(page_refs[li], ox, oy, oz, b0.at[slot], s0.at[1])
-                one_dma(page_refs[l1], ox1, oy1, oz1, b1.at[slot],
-                        s1.at[0])
 
     start4 = start_ref[...]
     pos = start4[:, 0:3]
@@ -289,82 +361,128 @@ def _spec_kernel(start_ref, refl_ref,       # (tile, 4) f32
     ez = ez_ref[...].astype(jnp.bfloat16)
     fc = fc_ref[...]
 
-    out_ref[...] = jnp.zeros((tile, NC), jnp.float32)
     live0 = jnp.max(t0) >= 1.0 - max_alpha
     stop_ref[0] = jnp.where(live0, 0, 1)
 
-    @pl.when(live0)
-    def _():
-        group_dma(0, 0)
+    # issue EVERY group's brick DMAs up front (arithmetic addresses; the
+    # early-out skips compute, not transfers — they are already in flight)
+    def issue(g, _, with_mip=True):
+        @pl.when(live0)
+        def _():
+            for t in range(GT):
+                lv, ox, oy, oz, ox1, oy1, oz1 = words(t, g)
+                one_dma(lv, ox, oy, oz, bricks.at[t, g, 0],
+                        bsem.at[t, g, 0])
+                if with_mip:
+                    lvc = jnp.minimum(lv + 1, nl - 1)
+                    one_dma(lvc, ox1, oy1, oz1, bricks.at[t, g, 1],
+                            bsem.at[t, g, 1])
+        return 0
 
-    def tap(buf, p, d_i, ox, oy, oz):
-        df = d_i.astype(jnp.float32)
-        uvw = p / (world_size * 0.5) * 0.5 + 0.5
-        t = jnp.clip(uvw * df - 0.5, 0.0, df - 1.0)
-        wx = _twohot(t[:, 0:1] - ox.astype(jnp.float32), BX, tile)
-        wy = _twohot(t[:, 1:2] - oy.astype(jnp.float32), BY, tile)
-        wz = _twohot(t[:, 2:3] - oz.astype(jnp.float32), BZ, tile)
-        wxy = (jax.lax.dot_general(wx, ex, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-               * jax.lax.dot_general(wy, ey, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32))
-        txy = jax.lax.dot_general(
-            wxy.astype(jnp.bfloat16), buf.reshape(BX * BY, BZ * NC),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)      # (tile, BZ*NC)
-        wzc = jax.lax.dot_general(wz, ez, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        return jax.lax.dot_general(
-            txy * wzc, fc, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)      # (tile, NC)
+    jax.lax.fori_loop(0, g_mip, functools.partial(issue, with_mip=False), 0)
+    jax.lax.fori_loop(g_mip, ng, issue, 0)
 
-    # march state (rgb, occ, T) persists across the pl.when-guarded group
-    # blocks in a VMEM accumulator (pl.when bodies cannot return values)
-    acc = refs[nl + 7]                      # VMEM (tile, 8) f32
     acc[...] = jnp.concatenate(
-        [jnp.zeros((tile, 4), jnp.float32), t0,
-         jnp.zeros((tile, 3), jnp.float32)], axis=1)
+        [jnp.zeros((GT * tile, 4), jnp.float32), t0,
+         jnp.zeros((GT * tile, 3), jnp.float32)], axis=1)
 
-    for g, (l0g, steps) in enumerate(groups):
-        @pl.when(stop_ref[0] == 0)
-        def _(g=g, l0g=l0g, steps=steps):
-            slot = g % 2
-            pltpu.make_async_copy(b0.at[slot], b0.at[slot],
-                                  s0.at[1]).wait()
-            pltpu.make_async_copy(b1.at[slot], b1.at[slot],
-                                  s1.at[0]).wait()
-            lv, ox, oy, oz, ox1, oy1, oz1 = words(g)
-            d_i = jax.lax.shift_right_logical(jnp.int32(dims[0]), lv)
+    def group_taps(t, g, with_mip):
+        """All KPAD steps of one tile's group as stacked-row matmuls ->
+        (KPAD, tile, NC) f32, mip-lerped."""
+        lv, ox, oy, oz, ox1, oy1, oz1 = words(t, g)
+        p_t = pos[t * tile:(t + 1) * tile]
+        r_t = refl[t * tile:(t + 1) * tile]
+        pk = jnp.concatenate(
+            [p_t + dtab_ref[g, k] * r_t for k in range(KPAD)], axis=0)
+        uvw = pk / (world_size * 0.5) * 0.5 + 0.5
+
+        def tap(brick, d_i, o0, o1, o2):
+            # grid-edge clamp BEFORE the origin rebase (trilinear
+            # edge-clamp semantics; the prepass footprint used clamped
+            # coordinates, so the brick covers every clamped sample).
+            # Each dynamic-scalar op costs a scoped-VMEM broadcast
+            # buffer — keep their count minimal.
+            df = d_i.astype(jnp.float32)
+            tt = jnp.minimum(jnp.maximum(uvw * df - 0.5, 0.0), df - 1.0)
+            wx = _twohot(tt[:, 0:1] - o0.astype(jnp.float32), BX)
+            wy = _twohot(tt[:, 1:2] - o1.astype(jnp.float32), BY)
+            wz = _twohot(tt[:, 2:3] - o2.astype(jnp.float32), BZ)
+            # matmul accumulators must be f32 (Mosaic) but every wide
+            # intermediate casts straight down to bf16 — the (rows, 192)
+            # f32 chains are what blow the 16 MB scoped-VMEM budget
+            ex_w = jax.lax.dot_general(
+                wx, ex, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            ey_w = jax.lax.dot_general(
+                wy, ey, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            txy = jax.lax.dot_general(
+                ex_w * ey_w, brick.reshape(BX * BY, BZ * NC),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            wzc = jax.lax.dot_general(
+                wz, ez, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            return jax.lax.dot_general(
+                txy * wzc, fc.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (KPAD*tile, NC)
+
+        d_i = jax.lax.shift_right_logical(jnp.int32(d0), lv)
+        smp = tap(bricks[t, g, 0], d_i, ox, oy, oz)
+        if with_mip:
             lvc = jnp.minimum(lv + 1, nl - 1)
-            d1_i = jax.lax.shift_right_logical(jnp.int32(dims[0]), lvc)
-            exact = (lv == l0g).astype(jnp.float32)
+            d1_i = jax.lax.shift_right_logical(jnp.int32(d0), lvc)
+            smp1 = tap(bricks[t, g, 1], d1_i, ox1, oy1, oz1)
+            exact = (lv == l0tab_ref[g]).astype(jnp.float32)
+            wk = jnp.concatenate(
+                [jnp.full((tile, 1), 1.0, jnp.float32) * wtab_ref[g, k]
+                 for k in range(KPAD)], axis=0) * exact
+            smp = smp * (1.0 - wk) + smp1 * wk
+        return smp.reshape(KPAD, tile, NC)
 
+    def march_group_body(g, with_mip):
+        # drain this group's semaphores whenever its DMAs were issued
+        # (i.e. live0), even if the march stopped early — otherwise the
+        # next grid step would inherit signaled semaphores
+        @pl.when(live0)
+        def _():
+            for t in range(GT):
+                for b in range(2 if with_mip else 1):
+                    pltpu.make_async_copy(bricks.at[t, g, b],
+                                          bricks.at[t, g, b],
+                                          bsem.at[t, g, b]).wait()
+
+        @pl.when(stop_ref[0] == 0)
+        def _():
+            smp_all = jnp.concatenate(
+                [group_taps(t, g, with_mip) for t in range(GT)],
+                axis=1)                               # (KPAD, GT*tile, NC)
             a = acc[...]
             color = a[:, 0:3]
-            occ = a[:, 3:4]
-            t = a[:, 4:5]
-            for dist, mip_w, diam in steps:
-                p = pos + dist * refl
-                smp = tap(b0[slot], p, d_i, ox, oy, oz)
-                if mip_w > 0.0:
-                    smp1 = tap(b1[slot], p, d1_i, ox1, oy1, oz1)
-                    w_eff = mip_w * exact
-                    smp = smp * (1.0 - w_eff) + smp1 * w_eff
+            occv = a[:, 3:4]
+            tcur = a[:, 4:5]
+            for k in range(KPAD):
+                # one vtab read zeroes the whole dummy-step sample, so the
+                # composite needs no further validity plumbing
+                smp = smp_all[k] * vtab_ref[g, k]
                 al = smp[:, 3:4]
-                active = (1.0 - t) < max_alpha
-                wpx = jnp.where(active, t, 0.0)
+                active = (1.0 - tcur) < max_alpha
+                wpx = jnp.where(active, tcur, 0.0)
                 color = color + wpx * smp[:, 0:3]
-                occ = occ + wpx * al / (1.0 + occlusion_falloff * diam)
-                t = jnp.where(active, t * (1.0 - al), t)
+                occv = occv + wpx * al * atab_ref[g, k]
+                tcur = jnp.where(active, tcur * (1.0 - al), tcur)
             acc[...] = jnp.concatenate(
-                [color, occ, t, jnp.zeros((tile, 3), jnp.float32)], axis=1)
+                [color, occv, tcur,
+                 jnp.zeros((GT * tile, 3), jnp.float32)], axis=1)
+            done = jnp.max(tcur) < 1.0 - max_alpha
+            stop_ref[0] = jnp.where(done & (g + 1 < ng), 1, stop_ref[0])
+        return 0
 
-            done = jnp.max(t) < 1.0 - max_alpha
-            stop_ref[0] = jnp.where(done, 1, 0)
-            if g + 1 < len(groups):
-                @pl.when(jnp.logical_not(done))
-                def _():
-                    group_dma(g + 1, (g + 1) % 2)
+    # groups below the first mip-lerping one statically skip the second
+    # tap + its semaphore (their schedule weights are all zero)
+    jax.lax.fori_loop(0, g_mip, lambda g, c: march_group_body(g, False), 0)
+    jax.lax.fori_loop(g_mip, ng, lambda g, c: march_group_body(g, True), 0)
 
     a = acc[...]
     out_ref[...] = a[:, 0:4]
@@ -375,21 +493,30 @@ def _spec_pallas(start4, refl4, lists, pages, statics) -> Array:
      tile) = statics
     n = start4.shape[0]
     ntiles = n // tile
-    assert n % tile == 0, n
+    assert n % tile == 0 and ntiles % GT == 0, (n, tile)
     assert lists.shape[0] >= _ceil_to(ntiles, 8) \
         and lists.shape[1] == NWORDS, (lists.shape, ntiles)
+    ng = len(groups)
     ex, ey, ez, fc = _expansions()
+    dt, wt, at, vt, l0 = group_tables(groups, occlusion_falloff)
+    g_mip = next((g for g, (_, steps) in enumerate(groups)
+                  if any(s[1] > 0.0 for s in steps)), ng)
     kern = functools.partial(
-        _spec_kernel, groups=groups, dims=tuple(dims),
-        world_size=world_size, max_alpha=max_alpha,
-        occlusion_falloff=occlusion_falloff, tile=tile)
+        _spec_kernel, ng=ng, g_mip=g_mip, dims=tuple(dims),
+        world_size=world_size, max_alpha=max_alpha, tile=tile)
+    gt = GT * tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(ntiles,),
+        grid=(ntiles // GT,),
         in_specs=[
-            pl.BlockSpec((tile, 4), lambda i: (i, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # dtab
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # wtab
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # atab
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # vtab
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # l0tab
+            pl.BlockSpec((gt, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 4), lambda i: (i, 0),
+            pl.BlockSpec((gt, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BX, BX * BY), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -400,26 +527,29 @@ def _spec_pallas(start4, refl4, lists, pages, statics) -> Array:
             pl.BlockSpec((BZ * NC, NC), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),      # lists
-        ] + [pl.BlockSpec(memory_space=pl.ANY)] * len(pages),
-        out_specs=pl.BlockSpec((tile, NC), lambda i: (i, 0),
+            pl.BlockSpec(memory_space=pl.ANY),      # pages
+        ],
+        out_specs=pl.BlockSpec((gt, NC), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.SMEM((8, NWORDS), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
-            pltpu.VMEM((2, BX, BY, BZ * NC), jnp.bfloat16),
-            pltpu.VMEM((2, BX, BY, BZ * NC), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((tile, 8), jnp.float32),
+            pltpu.VMEM((GT, ng, 2, BX, BY, BZ * NC), jnp.bfloat16),
+            pltpu.VMEM((gt, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((GT, ng, 2)),
         ],
     )
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, NC), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(start4, refl4, jnp.asarray(ex), jnp.asarray(ey), jnp.asarray(ez),
-      jnp.asarray(fc), lists, *pages)
+    )(jnp.asarray(dt), jnp.asarray(wt), jnp.asarray(at), jnp.asarray(vt),
+      jnp.asarray(l0), start4, refl4, jnp.asarray(ex), jnp.asarray(ey),
+      jnp.asarray(ez), jnp.asarray(fc), lists, pages)
 
 
 # ---------------------------------------------------------------------------
@@ -427,7 +557,7 @@ def _spec_pallas(start4, refl4, lists, pages, statics) -> Array:
 # ---------------------------------------------------------------------------
 
 def spec_march_ref(start4: Array, refl4: Array, lists: Array,
-                   pages: Sequence[Array], groups, dims: Sequence[int],
+                   pages: Array, groups, dims: Sequence[int],
                    world_size: float, max_alpha: float,
                    occlusion_falloff: float, tile: int = 256) -> Array:
     """Pure-jnp mirror honoring the per-tile forced levels in `lists`:
@@ -444,15 +574,17 @@ def spec_march_ref(start4: Array, refl4: Array, lists: Array,
     refl = refl4[:, 0:3]
     pix = jnp.repeat(jnp.arange(ntiles), tile)
     nl = len(dims)
+    d0 = dims[0]
+    zc = max(d0, BZ)
 
     def sample_level(p, lv_pix):
         """Trilinear at each pixel's listed level (gathered per level)."""
         out = jnp.zeros((n, NC), jnp.float32)
         uvw = G.world_to_uvw(p, world_size)
-        for li, page in enumerate(pages):
-            d = dims[li]
-            zl = max(d, BZ)
-            vol = page[0].astype(jnp.float32).reshape(d, d, zl, NC)[:, :, :d]
+        for li, d in enumerate(dims):
+            xb = _xbase(d0, li)
+            vol = pages[0, xb:xb + d, :d, :d * NC].astype(
+                jnp.float32).reshape(d, d, d, NC)
             sv = G.trilinear_sample(vol, uvw)
             out = jnp.where((lv_pix == li)[:, None], sv, out)
         return out
@@ -513,7 +645,7 @@ _spec_call.defvjp(_spec_fwd, _spec_bwd)
 def spec_march_tiles(start4: Array,          # (n, 4): start xyz, hit mask
                      refl4: Array,           # (n, 4): reflection xyz
                      lists: Array,           # select_spec_bricks output
-                     pages: Tuple[Array, ...],
+                     pages: Array,           # pack_spec_mips output
                      *, groups, dims: Tuple[int, ...], world_size: float,
                      max_alpha: float, occlusion_falloff: float,
                      interpret: bool = False, tile: int = 256) -> Array:
@@ -523,10 +655,11 @@ def spec_march_tiles(start4: Array,          # (n, 4): start xyz, hit mask
     in w (miss pixels march with zero transmittance — zero output, and
     they don't hold tiles live past the early-out).  pages from
     pack_spec_mips(radiance_mips); groups from plan_groups; lists from
-    select_spec_bricks.  Oracle: core/march.cone_march up to the per-tile
+    select_spec_bricks.  The tile count must be even (GT=2 tiles per
+    grid step).  Oracle: core/march.cone_march up to the per-tile
     footprint-forced lod fallback; differentiable via spec_march_ref.
     """
     statics = (tuple(groups), tuple(dims), float(world_size),
                float(max_alpha), float(occlusion_falloff), bool(interpret),
                int(tile))
-    return _spec_call(statics, start4, refl4, lists, tuple(pages))
+    return _spec_call(statics, start4, refl4, lists, pages)

@@ -252,6 +252,10 @@ def _tap_kernel(scal_ref,                 # (8, ntiles) int32 prefetch
                 sel_ref,                  # (4nb, 4) static fold
                 ex_ref, ey_ref, ez_ref,   # expansion matrices
                 ed_ref,                   # (nb, 4nb) weight expansion
+                cdbd_ref,                 # (9, K*nb) fused cone x basis
+                sumk_ref,                 # (K*nb, K) per-cone group sum
+                expk_ref,                 # (K, K*nb) per-cone broadcast
+                wfold_ref,                # (K*nb, nb) cone-weight fold
                 *refs,
                 nl: int, nf: int, cfield: int, cpad: int, world_size: float,
                 voxel: float, shadow_offset: float,
@@ -360,9 +364,12 @@ def _tap_kernel(scal_ref,                 # (8, ntiles) int32 prefetch
         w3f, fb, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)              # (tile, cpad)
 
-    # ---- basis weighting, fully in-kernel: the small cos matmuls ride
-    # the MXU here, where the same math as XLA elementwise graphs
-    # measured 75 ms/frame (r3) ----
+    # ---- basis weighting, fully in-kernel.  The r3 per-cone loop was a
+    # ~48-op dependent chain of small ops (measured latency-bound); all
+    # K cones now batch through block-diagonal matmuls.  Direction
+    # normalization is dropped: the per-cone weight is positively
+    # homogeneous then sum-normalized, so any positive scale of the cone
+    # direction cancels exactly (pows of relu are homogeneous) ----
     bT = basis_ref[...]                                  # (3, nb)
 
     def pows(w, p):
@@ -374,22 +381,30 @@ def _tap_kernel(scal_ref,                 # (8, ntiles) int32 prefetch
         return v * jax.lax.rsqrt(jnp.maximum(
             jnp.sum(v * v, axis=1, keepdims=True), 1e-24))
 
-    # diffuse: cone-weight x spherical-basis contraction (fs:175,198)
-    dw = jnp.zeros((tile, nb), jnp.float32)
-    for ck in range(cone_dirs.shape[0]):
-        cd = cone_dirs[ck]
-        dv = norm_rows(tangent * float(cd[0]) + bitan * float(cd[1])
-                       + normal * float(cd[2]))
-        wp = jnp.maximum(jax.lax.dot_general(
-            dv, bT, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32), 0.0)
-        wp = pows(wp, power_diffuse)
-        wp = wp / jnp.maximum(jnp.sum(wp, axis=1, keepdims=True), 1e-8)
-        dw = dw + float(cone_weights[ck]) * wp
+    # diffuse: cone-weight x spherical-basis contraction (fs:175,198):
+    # wp_all[:, k*nb+b] = relu(dv_k . basis_b) for every cone at once
+    tbn9 = jnp.concatenate([tangent, bitan, normal], axis=1)
+    wp_all = jnp.maximum(jax.lax.dot_general(
+        tbn9, cdbd_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32), 0.0)        # (tile, K*nb)
+    wp_all = pows(wp_all, power_diffuse)
+    sums = jax.lax.dot_general(                          # per-cone sums
+        wp_all, sumk_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (tile, K)
+    inv = 1.0 / jnp.maximum(sums, 1e-8)
+    invx = jax.lax.dot_general(                          # broadcast back
+        inv, expk_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (tile, K*nb)
+    dw = jax.lax.dot_general(                            # cone-weight fold
+        wp_all * invx, wfold_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (tile, nb)
 
-    # specular: reflection of the eye ray about the BUMP normal (fs:217)
+    # specular: reflection of the eye ray about the BUMP normal (fs:217);
+    # the eye normalization folds into the single refl normalization
+    # (|refl| = |eye| for unit sn) — and refl MUST be unit or the ^32
+    # sharpening overflows f32 before the sum-normalization cancels it
     sn = norm_rows(bn_ref[...][:, 0:3])
-    eye = norm_rows(cam_ref[0:1, :] - pos)
+    eye = cam_ref[0:1, :] - pos
     refl = norm_rows(
         2.0 * jnp.sum(sn * eye, axis=1, keepdims=True) * sn - eye)
     sw = jnp.maximum(jax.lax.dot_general(
@@ -449,6 +464,21 @@ def _tap_pallas(statics, gbuf, scalars, bumpn, campos, light_mips,
     ex, ey, ez = expansion_matrices()
     ed = np.repeat(np.eye(nb, dtype=np.float32), 4, axis=1)   # (nb, 4nb)
 
+    # batched diffuse cone weighting: cdbd[3a+j, k*nb+b] = cd[k][a] *
+    # basis[b][j] fuses the per-cone direction build (tbn9 @ CD) with the
+    # basis cosine matmul (@ blockdiag(basis^T)) into one contraction
+    kc = cone_dirs.shape[0]
+    cdbd = np.zeros((9, kc * nb), np.float32)
+    for k in range(kc):
+        for a in range(3):          # tbn9 axis block (tangent/bitan/normal)
+            for j in range(3):      # xyz component
+                cdbd[3 * a + j, k * nb:(k + 1) * nb] = \
+                    cone_dirs[k][a] * basis[:, j]
+    sumk = np.kron(np.eye(kc, dtype=np.float32), np.ones((nb, 1), np.float32))
+    expk = sumk.T.copy()
+    wfold = np.concatenate(
+        [w * np.eye(nb, dtype=np.float32) for w in cone_weights], axis=0)
+
     kern = functools.partial(
         _tap_kernel, nl=len(light_mips), nf=len(field_mips), cfield=cfield,
         cpad=cpad, world_size=world_size, voxel=voxel,
@@ -481,7 +511,11 @@ def _tap_pallas(statics, gbuf, scalars, bumpn, campos, light_mips,
                           memory_space=pltpu.VMEM),
              pl.BlockSpec((FBZ, CELLS_F), _whole,
                           memory_space=pltpu.VMEM),
-             pl.BlockSpec((nb, 4 * nb), _whole, memory_space=pltpu.VMEM)]
+             pl.BlockSpec((nb, 4 * nb), _whole, memory_space=pltpu.VMEM),
+             pl.BlockSpec((9, kc * nb), _whole, memory_space=pltpu.VMEM),
+             pl.BlockSpec((kc * nb, kc), _whole, memory_space=pltpu.VMEM),
+             pl.BlockSpec((kc, kc * nb), _whole, memory_space=pltpu.VMEM),
+             pl.BlockSpec((kc * nb, nb), _whole, memory_space=pltpu.VMEM)]
             + [pl.BlockSpec(memory_space=pl.ANY)] * len(light_mips)
             + [pl.BlockSpec(memory_space=pl.ANY)] * len(field_mips)
         ),
@@ -505,7 +539,8 @@ def _tap_pallas(statics, gbuf, scalars, bumpn, campos, light_mips,
     )(scalars.T, gbuf, bumpn, campos[None, :], jnp.asarray(foldx),
       jnp.asarray(basis.T), jnp.asarray(sel), jnp.asarray(ex),
       jnp.asarray(ey), jnp.asarray(ez), jnp.asarray(ed),
-      *light_mips, *field_mips)
+      jnp.asarray(cdbd), jnp.asarray(sumk), jnp.asarray(expk),
+      jnp.asarray(wfold), *light_mips, *field_mips)
 
 
 def tap_tiles_ref(gbuf: Array, scalars: Array, bumpn: Array,

@@ -42,6 +42,7 @@ from vct_tpu.core import grid as G
 from vct_tpu.ops import material_pallas as MP
 from vct_tpu.ops import prepass_pallas as PP
 from vct_tpu.ops import raycast_pallas as RP
+from vct_tpu.ops import specmarch_pallas as SP
 from vct_tpu.ops import tap_pallas as TP
 from vct_tpu.render import shading
 from vct_tpu.render.gbuffer import DeviceScene
@@ -64,15 +65,27 @@ class FrameTables:
 
     light_mips: Tuple[Array, ...]        # each (D, max(D,32), D) bf16
     field_mips: Tuple[Array, ...]        # each (D, D, max(D,32), C) bf16
-    atlas_pages: Optional[Tuple[Array, ...]]   # material_pallas mip pages
+    atlas_pages: Optional[Array]         # material_pallas packed mip pages
+    spec_mips: Optional[Array]           # specmarch_pallas packed radiance
 
 
 def supported(cfg: VCTConfig) -> bool:
-    """Does this config route through the fast path?"""
+    """Does this config route through the fast path?
+
+    Specular runs either through the basis field ("field") or the exact
+    per-pixel cone-march kernel ("percone", isotropic mips only —
+    ops/specmarch_pallas.py)."""
+    spec_ok = (not cfg.cones.trace_specular
+               or cfg.cones.specular_mode == "field"
+               or (cfg.cones.specular_mode == "percone"
+                   and not cfg.grid.anisotropic))
     return (cfg.shadow.mode == "volume"
-            and cfg.cones.diffuse_mode == "field"
-            and (not cfg.cones.trace_specular
-                 or cfg.cones.specular_mode == "field"))
+            and cfg.cones.diffuse_mode == "field" and spec_ok)
+
+
+def _spec_percone(cfg: VCTConfig) -> bool:
+    return (cfg.cones.trace_specular
+            and cfg.cones.specular_mode == "percone")
 
 
 def _mips_to(vol: Array, floor_dim: int) -> Tuple[Array, ...]:
@@ -99,8 +112,10 @@ def build_frame_tables(cfg: VCTConfig, voxels: VoxelState,
     pages = (MP.atlas_mip_pages(mats.atlas.albedo, mats.atlas.specular,
                                 mats.atlas.height)
              if mats.atlas is not None else None)
+    spec_mips = (SP.pack_spec_mips(voxels.radiance_mips)
+                 if _spec_percone(cfg) else None)
     return FrameTables(light_mips=light_mips, field_mips=field_mips,
-                       atlas_pages=pages)
+                       atlas_pages=pages, spec_mips=spec_mips)
 
 
 def _tile_order(img: Array, hp: int, wp: int) -> Array:
@@ -178,7 +193,9 @@ def render_frame(cfg: VCTConfig,
     has_atlas = tables.atlas_pages is not None
     if has_atlas:
         res = MP.pages_resolution(tables.atlas_pages)
-        nm, nlv = tables.atlas_pages[0].shape[0], len(tables.atlas_pages)
+        import numpy as _np
+        nm = tables.atlas_pages.shape[0]
+        nlv = int(_np.log2(res)) + 1
     else:
         res, nm, nlv = 16, 1, 1
     scal, mscal, mlists, mslots = PP.prepass_tiles(
@@ -207,12 +224,14 @@ def render_frame(cfg: VCTConfig,
     eye = shading.C.normalize(camera_position - pos)
     nb = cfg.cones.field_basis
 
-    # 4. taps: shadow + basis-weighted diffuse/specular, one kernel pass;
-    # the bump normal ships as its own narrow input (the specular
-    # reflection axis is formed in-kernel)
+    # 4. taps: shadow + basis-weighted diffuse (+ specular in field
+    # mode), one kernel pass; the bump normal ships as its own narrow
+    # input (the specular reflection axis is formed in-kernel)
     bumpn = jnp.concatenate(
         [shade_normal, jnp.zeros((g.shape[0], 1), jnp.float32)], axis=1)
-    cfield = 4 * nb * (2 if cfg.cones.trace_specular else 1)
+    spec_field = (cfg.cones.trace_specular
+                  and cfg.cones.specular_mode == "field")
+    cfield = 4 * nb * (2 if spec_field else 1)
     taps = TP.tap_tiles(
         g, scal, bumpn, camera_position, tables.light_mips,
         tables.field_mips,
@@ -226,6 +245,31 @@ def render_frame(cfg: VCTConfig,
     ind_d_occ = taps[:, 4]
     ind_s_rgb = taps[:, 5:8]
     ind_s_occ = taps[:, 8]
+
+    # 4b. exact per-pixel specular cone march (specular_mode="percone"):
+    # reflect(-E, N_bump) through the radiance pyramid
+    # (ops/specmarch_pallas.py; VoxelConeTracing.fs:217-223)
+    if _spec_percone(cfg):
+        def tiled(x):
+            return x.reshape((ntiles, tile) + x.shape[1:])
+        refl = shading.reflect_eye(shade_normal, eye)
+        start = pos + nrm * voxel
+        dims = SP.pages_dims(tables.spec_mips)
+        sched = shading.specular_schedule(cfg)
+        groups = SP.plan_groups(sched, len(dims))
+        slists = SP.select_spec_bricks(
+            tiled(start), tiled(refl), tiled(hit), groups, dims, ws)
+        start4 = jnp.concatenate(
+            [start, hit.astype(jnp.float32)[:, None]], axis=1)
+        refl4 = jnp.concatenate(
+            [refl, jnp.zeros((g.shape[0], 1), jnp.float32)], axis=1)
+        so = SP.spec_march_tiles(
+            start4, refl4, slists, tables.spec_mips, groups=groups,
+            dims=dims, world_size=ws, max_alpha=cfg.cones.max_alpha,
+            occlusion_falloff=cfg.cones.occlusion_falloff,
+            interpret=interpret, tile=tile)
+        ind_s_rgb = so[:, 0:3]
+        ind_s_occ = so[:, 3]
 
     # 5. combine + background + untile
     rgb = shading.combine(
