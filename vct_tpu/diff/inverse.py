@@ -135,7 +135,7 @@ def voxel_state_from_radiance(
         cfg, radiance_mips, shading.diffuse_schedule(cfg))
         if cfg.cones.diffuse_mode == "field" else None)
     specular_field = (shading.build_cone_field(
-        cfg, radiance_mips, shading.specular_schedule(cfg))
+        cfg, radiance_mips, shading.specular_field_schedule(cfg))
         if cfg.cones.trace_specular and cfg.cones.specular_mode == "field"
         else None)
     return R.VoxelState(

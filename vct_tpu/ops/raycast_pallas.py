@@ -331,8 +331,16 @@ def _raycast_pallas(dirs: Array, origin: Array, isect: Array, attrs: Array,
 # fori, computing exactly the whole-table kernel's math per chunk.
 # ---------------------------------------------------------------------------
 
-CHUNK = 512             # triangles per streamed chunk (lane-aligned: 4x128; 256
-                        # measured 4x slower per-chunk on TPU r3)
+CHUNK = 128             # triangles per streamed chunk (the lane-tile
+                        # minimum): r4 sweep at 287k tris — 512: 448 ms,
+                        # 256: 272, 128: 216 — tighter chunk spheres cull
+                        # ~3x more triangles and the GANG batching keeps
+                        # the loop wide
+GANG = 8                # chunks per kernel loop iteration: the per-chunk
+                        # compute is a ~20-op dependent chain at ~0.12 us/op
+                        # (r4), so processing GANG*CHUNK triangles per
+                        # iteration halves the chain count per surviving
+                        # chunk without coarsening the 512-tri culling
 
 
 def pack_tables_stream(ds: DeviceScene, origin: Array,
@@ -424,17 +432,20 @@ def select_chunks(dirs: Array, spheres: Array) -> Tuple[Array, Array]:
     # of front-to-back traversal with occlusion termination.
     near = jnp.maximum(jnp.sqrt(jnp.maximum(vv, 0.0)) - r[None, :], 0.0)
     near_q = jnp.clip(jnp.floor(near), 0, 32766).astype(jnp.int32)
-    sort_key = jnp.where(keep, near_q, jnp.int32(2 ** 30))
-    order = jnp.argsort(sort_key, axis=1, stable=True)          # (nrt, nck)
+    # VALUE-sort the packed (near | id) words directly: sorting by the
+    # word IS sorting by (near, id), and it avoids the argsort + gather
+    # pair, which measured 207 ms vs 15 ms at 1080p x 2248 chunks (r4).
+    # Culled entries carry a 2^30 sentinel, whose near bits also make the
+    # kernel's stop check fire if it ever peeks past the count.
     cis = jnp.broadcast_to(jnp.arange(nchunk, dtype=jnp.int32)[None, :],
                            (nrt, nchunk))
-    words = cis | (near_q << 16)
-    sorted_words = jnp.take_along_axis(
-        jnp.where(keep, words, 0), order, axis=1)
+    words = jnp.where(keep, cis | (near_q << 16), jnp.int32(2 ** 30))
+    sorted_words = jnp.sort(words, axis=1)
     # lane dim padded to a 128-multiple: the kernel DMAs one lists row per
     # tile, and Mosaic requires 128-aligned lane extents on sliced copies
     ncp = -(-nchunk // 128) * 128
-    lists = jnp.zeros((nrt, ncp), jnp.int32).at[:, :nchunk].set(sorted_words)
+    lists = jnp.full((nrt, ncp), jnp.int32(2 ** 30)).at[
+        :, :nchunk].set(sorted_words)
     pad_r = (-nrt) % 8       # kernel copies 8-row groups (sublane-aligned)
     if pad_r:
         lists = jnp.concatenate(
@@ -442,14 +453,34 @@ def select_chunks(dirs: Array, spheres: Array) -> Tuple[Array, Array]:
     return lists, counts
 
 
-def _stream_kernel(counts_ref,              # (nrt,) int32 prefetch
-                   dirs_ref, o_ref, lists_ref, isect_ref, attrsT_ref,
+def _stream_kernel(scal_ref,               # (1+GANG, nrt) int32 prefetch
+                   dirs_ref, o_ref, tfar_ref, lists_ref, isect_ref,
+                   attrsT_ref,
                    out_ref, listbuf, tb_ref, gb_ref,
                    ibuf, abuf, lsem, isem, asem,
                    *, nchunk: int, eps: float, tmin_eps: float):
     d = dirs_ref[...]                       # (TILE, 3)
     i = pl.program_id(0)
-    cnt = counts_ref[i]
+    cnt = scal_ref[0, i]
+    gw = GANG * CHUNK
+
+    def member_dma(ci, slot, m):
+        # each gang member owns a leading-indexed buffer block (partial
+        # trailing-dim DMA destinations fault the DMA engine)
+        base = pl.multiple_of(ci * CHUNK, CHUNK)
+        pltpu.make_async_copy(
+            isect_ref.at[:, pl.ds(base, CHUNK)], ibuf.at[slot, m],
+            isem.at[slot, m]).start()
+        pltpu.make_async_copy(
+            attrsT_ref.at[:, pl.ds(base, CHUNK)], abuf.at[slot, m],
+            asem.at[slot, m]).start()
+
+    # gang 0 loads straight from the PREFETCH scalars, before the list
+    # copy even lands — its DMAs overlap the list transfer
+    @pl.when(cnt > 0)
+    def _():
+        for m in range(GANG):
+            member_dma(scal_ref[1 + m, i], 0, m)
 
     # copy this tile's 8-row list group (single rows violate the (8, 128)
     # sublane tiling when the compiler places `lists` in VMEM)
@@ -458,39 +489,40 @@ def _stream_kernel(counts_ref,              # (nrt,) int32 prefetch
     pltpu.make_async_copy(lists_ref.at[pl.ds(grp, 8)], listbuf, lsem).wait()
     row = i % 8
 
-    def chunk_dma(j, slot):
-        ci = listbuf[row, j] & 0xFFFF       # low 16 bits: chunk id
-        base = pl.multiple_of(ci * CHUNK, CHUNK)
-        pltpu.make_async_copy(
-            isect_ref.at[:, pl.ds(base, CHUNK)], ibuf.at[slot],
-            isem.at[slot]).start()
-        pltpu.make_async_copy(
-            attrsT_ref.at[:, pl.ds(base, CHUNK)], abuf.at[slot],
-            asem.at[slot]).start()
+    def gang_dma(p, slot):
+        for m in range(GANG):
+            jm = jnp.minimum(GANG * p + m, cnt - 1)   # duplicate last
+            member_dma(listbuf[row, jm] & 0xFFFF, slot, m)
 
-    tb_ref[...] = jnp.full((TILE, 1), _BIG, jnp.float32)
+    # miss sentinel = the ray's scene-AABB exit distance (+margin), NOT
+    # _BIG: every real hit satisfies t <= exit, and capping tbest lets the
+    # front-to-back stop fire for tiles containing sky pixels (with _BIG
+    # a single miss ray kept the whole tile marching the full list)
+    init = tfar_ref[...] * 1.001 + 1e-2
+    tb_ref[...] = init
     gb_ref[...] = jnp.zeros((TILE, NATTR + 3), jnp.float32)
-
-    @pl.when(cnt > 0)
-    def _():
-        chunk_dma(0, 0)
 
     # Lists are FRONT-TO-BACK (select_chunks sorts by the conservative
     # near distance packed in bits 16+).  Once every ray's current best
-    # is strictly closer than the next chunk's near bound, no later
-    # chunk can win (near is non-decreasing) — stop, skipping both the
-    # compute and the DMA.  Invariant: chunk j's DMA was issued iff the
-    # loop reaches j un-stopped.
-    def body(j, stop):
+    # is strictly closer than the next gang's near bound, no later chunk
+    # can win (near is non-decreasing) — stop, skipping both the compute
+    # and the DMA.  Invariant: gang p's DMAs were issued iff the loop
+    # reaches p un-stopped.  A duplicated trailing chunk (odd counts) is
+    # idempotent: identical t candidates, first-index argmin keeps the
+    # first copy.
+    def body(p, stop):
         @pl.when(jnp.logical_not(stop))
         def _():
-            slot = jax.lax.rem(j, 2)
-            pltpu.make_async_copy(ibuf.at[slot], ibuf.at[slot],
-                                  isem.at[slot]).wait()
-            pltpu.make_async_copy(abuf.at[slot], abuf.at[slot],
-                                  asem.at[slot]).wait()
-            blk = ibuf[slot]                          # (16, CHUNK)
-            at = abuf[slot]                           # (NATTR, CHUNK)
+            slot = jax.lax.rem(p, 2)
+            for m in range(GANG):
+                pltpu.make_async_copy(ibuf.at[slot, m], ibuf.at[slot, m],
+                                      isem.at[slot, m]).wait()
+                pltpu.make_async_copy(abuf.at[slot, m], abuf.at[slot, m],
+                                      asem.at[slot, m]).wait()
+            blk = jnp.concatenate(
+                [ibuf[slot, m] for m in range(GANG)], axis=1)  # (16, gw)
+            at = jnp.concatenate(
+                [abuf[slot, m] for m in range(GANG)], axis=1)  # (NATTR, gw)
             kk = blk[9:10, :]
 
             def dot3(rows):
@@ -508,21 +540,21 @@ def _stream_kernel(counts_ref,              # (nrt,) int32 prefetch
             valid = ((ad > eps) & (s * ud >= 0) & (s * vd >= 0)
                      & (s * (ud + vd) <= ad) & (sk > tmin_eps * ad))
             tval = kk * sinv
-            tcand = jnp.where(valid, tval, _BIG)      # (TILE, CHUNK)
+            tcand = jnp.where(valid, tval, _BIG)      # (TILE, gw)
 
             tmin_c = jnp.min(tcand, axis=1, keepdims=True)
             tbest = tb_ref[...]
             better = tmin_c < tbest
             improved = jnp.any(better)
 
-            # winner extraction only when this chunk beat something —
-            # with front-to-back lists most chunks improve nothing, so
+            # winner extraction only when this gang beat something —
+            # with front-to-back lists most gangs improve nothing, so
             # the one-hot/select/attr-fetch cost is skipped
             @pl.when(improved)
             def _():
                 lanes = jax.lax.broadcasted_iota(
                     jnp.int32, tcand.shape, 1)
-                idx_c = jnp.min(jnp.where(tcand == tmin_c, lanes, CHUNK),
+                idx_c = jnp.min(jnp.where(tcand == tmin_c, lanes, gw),
                                 axis=1, keepdims=True)
                 onehot = ((lanes == idx_c)
                           & (tmin_c < _BIG)).astype(jnp.float32)
@@ -534,31 +566,34 @@ def _stream_kernel(counts_ref,              # (nrt,) int32 prefetch
                 gcand = jnp.concatenate(
                     [u_c, v_c, jnp.zeros_like(u_c), arow], axis=1)
                 # strict < keeps the EARLIER list entry's winner on exact
-                # t ties; within a chunk the lane argmin is first-index —
+                # t ties; within a gang the lane argmin is first-index —
                 # equal-t resolution follows list order (near-sorted)
                 tb_ref[...] = jnp.where(better, tmin_c, tbest)
                 gb_ref[...] = jnp.where(better, gcand, gb_ref[...])
 
-        # stop as soon as the NEXT chunk's near bound beats every ray
-        jn = jnp.minimum(j + 1, nchunk - 1)
+        # stop as soon as the NEXT gang's near bound beats every ray
+        jn = jnp.minimum(GANG * (p + 1), nchunk - 1)
         near_next = jax.lax.shift_right_logical(
             listbuf[row, jn], 16).astype(jnp.float32)
         tmax = jnp.max(tb_ref[...])
         stop2 = stop | (near_next >= tmax)
 
-        @pl.when((j + 1 < cnt) & jnp.logical_not(stop2))
+        @pl.when((GANG * (p + 1) < cnt) & jnp.logical_not(stop2))
         def _():
-            chunk_dma(j + 1, jax.lax.rem(j + 1, 2))
+            gang_dma(p + 1, jax.lax.rem(p + 1, 2))
 
         return stop2
 
-    jax.lax.fori_loop(0, cnt, body, False)
-    out_ref[...] = _finish_gbuf(d, o_ref, tb_ref[...], gb_ref[...])
+    jax.lax.fori_loop(0, (cnt + GANG - 1) // GANG, body, False)
+    out_ref[...] = _finish_gbuf(d, o_ref, tb_ref[...], gb_ref[...],
+                                miss_at=init)
 
 
-def _finish_gbuf(d, o_ref, tbest, g):
-    """Shared G-buffer interpolation tail (gbuffer._interp_gbuffer)."""
-    hit = tbest < _BIG
+def _finish_gbuf(d, o_ref, tbest, g, miss_at=None):
+    """Shared G-buffer interpolation tail (gbuffer._interp_gbuffer).
+    miss_at: per-ray miss sentinel (the stream kernel's AABB-exit init);
+    default _BIG (whole-table kernel)."""
+    hit = tbest < (_BIG if miss_at is None else miss_at)
     ts = jnp.where(hit, tbest, 0.0)
     u = g[:, 0:1]
     v = g[:, 1:2]
@@ -595,11 +630,12 @@ def _finish_gbuf(d, o_ref, tbest, g):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def raycast_stream(dirs: Array, origin: Array, isect: Array, attrsT: Array,
-                   lists: Array, counts: Array,
+                   lists: Array, counts: Array, spheres: Array,
                    interpret: bool = False) -> Array:
     """Streamed closest-hit G-buffer: (N, 3) same-origin rays ->
-    (N, NOUT), N a TILE multiple; tables from pack_tables_stream, chunk
-    lists from select_chunks.  Output columns as raycast_gbuf24."""
+    (N, NOUT), N a TILE multiple; tables + spheres from
+    pack_tables_stream, chunk lists from select_chunks.  Output columns
+    as raycast_gbuf24."""
     n = dirs.shape[0]
     assert n % TILE == 0, n
     tp = isect.shape[1]
@@ -613,6 +649,27 @@ def raycast_stream(dirs: Array, origin: Array, isect: Array, attrsT: Array,
         and ncp >= nchunk, (lists.shape, n, nchunk)
     kern = functools.partial(_stream_kernel, nchunk=ncp, eps=1e-7,
                              tmin_eps=1e-4)
+    # prefetch scalars: [count | gang-0 chunk ids] per tile, so the first
+    # gang's DMAs issue before the list copy lands
+    nrt = n // TILE
+    gidx = jnp.minimum(jnp.arange(GANG)[None, :],
+                       jnp.maximum(counts[:, None] - 1, 0))
+    gang0 = jnp.take_along_axis(lists[:nrt], gidx, axis=1) & 0xFFFF
+    scal = jnp.concatenate([counts[:, None], gang0], axis=1)   # (nrt, 1+G)
+
+    # per-ray scene-AABB (origin-relative, from the chunk spheres) exit
+    # distance — the miss sentinel that keeps sky rays from pinning the
+    # early-out (see _stream_kernel)
+    real = spheres[:, 3] >= 0.0
+    c3, r3 = spheres[:, :3], spheres[:, 3:4]
+    big = jnp.float32(_BIG)
+    vmin = jnp.min(jnp.where(real[:, None], c3 - r3, big), axis=0)
+    vmax = jnp.max(jnp.where(real[:, None], c3 + r3, -big), axis=0)
+    dinv = 1.0 / jnp.where(jnp.abs(dirs) < 1e-12,
+                           jnp.float32(1e-12), dirs)
+    ta = vmin[None, :] * dinv
+    tb = vmax[None, :] * dinv
+    tfar = jnp.maximum(jnp.min(jnp.maximum(ta, tb), axis=1), 0.0)[:, None]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n // TILE,),
@@ -620,6 +677,8 @@ def raycast_stream(dirs: Array, origin: Array, isect: Array, attrsT: Array,
             pl.BlockSpec((TILE, 3), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),     # lists (nrt, nchunk)
             pl.BlockSpec(memory_space=pl.ANY),     # isect (16, Tp)
@@ -631,11 +690,11 @@ def raycast_stream(dirs: Array, origin: Array, isect: Array, attrsT: Array,
             pltpu.SMEM((8, ncp), jnp.int32),
             pltpu.VMEM((TILE, 1), jnp.float32),
             pltpu.VMEM((TILE, NATTR + 3), jnp.float32),
-            pltpu.VMEM((2, 16, CHUNK), jnp.float32),
-            pltpu.VMEM((2, NATTR, CHUNK), jnp.float32),
+            pltpu.VMEM((2, GANG, 16, CHUNK), jnp.float32),
+            pltpu.VMEM((2, GANG, NATTR, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, GANG)),
+            pltpu.SemaphoreType.DMA((2, GANG)),
         ],
     )
     return pl.pallas_call(
@@ -643,7 +702,7 @@ def raycast_stream(dirs: Array, origin: Array, isect: Array, attrsT: Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, NOUT), jnp.float32),
         interpret=interpret,
-    )(counts, dirs, origin[None, :], lists, isect, attrsT)
+    )(scal.T, dirs, origin[None, :], tfar, lists, isect, attrsT)
 
 
 def gbuf24_to_gbuffer(g: Array) -> GBuffer:

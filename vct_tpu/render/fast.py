@@ -176,7 +176,7 @@ def render_frame(cfg: VCTConfig,
         nrt = d.shape[0] // RP.TILE
         lists, counts = RP.select_chunks(d.reshape(nrt, RP.TILE, 3), spheres)
         g = RP.raycast_stream(d, origin, isect, attrsT, lists, counts,
-                              interpret=interpret)
+                              spheres, interpret=interpret)
 
     # 2. fused per-tile prepass: light/field brick selection + per-material
     # atlas entries + per-pixel material slots, one Pallas pass over the

@@ -124,14 +124,21 @@ class VoxelState:
     shadow_map: Optional[Array] = None        # (S, S) depth, mode "map"
 
 
-def prepare_scene(cfg: VCTConfig, scene: Scene):
-    """Host-side prep: device geometry, material table, surface samples."""
+def prepare_scene(cfg: VCTConfig, scene: Scene, samples=None):
+    """Host-side prep: device geometry, material table, surface samples.
+
+    Pass `samples` to reuse an existing SamplesDevice — e.g. for a
+    subdivided copy of the same surfaces (scene/mesh.subdivide_scene),
+    whose voxelization is identical by construction.
+    """
     ds = DeviceScene.from_scene(scene)
     mats = MaterialTable.from_scene(scene)
-    samples = generate_surface_samples(
-        scene, cfg.grid.voxel_world_size,
-        cfg.voxelize.samples_per_voxel_width)
-    return ds, mats, SamplesDevice.from_samples(samples)
+    if samples is None:
+        host = generate_surface_samples(
+            scene, cfg.grid.voxel_world_size,
+            cfg.voxelize.samples_per_voxel_width)
+        samples = SamplesDevice.from_samples(host)
+    return ds, mats, samples
 
 
 shadow_schedule = shading.shadow_schedule
@@ -243,11 +250,13 @@ def build_voxel_state(
     light_volume = None
     shadow_map = None
     if cfg.shadow.mode == "volume":
-        # dense light-transmittance volume; per-sample shadow is one tap
+        # dense light-transmittance volume; per-sample shadow is one
+        # corner-packed tap (one gather row per sample)
         light_volume = shading.build_light_volume(cfg, unlit_mips,
                                                   mesh=mesh)
-        shadow = shading.shadow_volume_tap(
-            cfg, light_volume, samples.positions, samples.normals)
+        shadow = shading.shadow_volume_tap_packed(
+            cfg, shading.pack_light_corners(light_volume), cfg.grid.dim,
+            samples.positions, samples.normals)
     elif cfg.shadow.mode == "map":
         # reference parity: scatter-min depth map + PCF (/25 here, the
         # voxelize-pass normalization — Voxelization.fs:46)
@@ -277,7 +286,8 @@ def build_voxel_state(
     specular_field = None
     if cfg.cones.trace_specular and cfg.cones.specular_mode == "field":
         specular_field = shading.build_cone_field(
-            cfg, radiance_mips, shading.specular_schedule(cfg), mesh=mesh)
+            cfg, radiance_mips, shading.specular_field_schedule(cfg),
+            mesh=mesh)
 
     return VoxelState(
         radiance_mips=radiance_mips,
@@ -325,8 +335,9 @@ def _stage_radiance(cfg: VCTConfig, samples: SamplesDevice,
     emissive = mats.emissive[samples.material_ids]
     weights = jnp.ones(samples.positions.shape[0], albedo.dtype)
     if cfg.shadow.mode == "volume":
-        shadow = shading.shadow_volume_tap(
-            cfg, light_volume, samples.positions, samples.normals)
+        shadow = shading.shadow_volume_tap_packed(
+            cfg, shading.pack_light_corners(light_volume), cfg.grid.dim,
+            samples.positions, samples.normals)
     elif cfg.shadow.mode == "map":
         from vct_tpu.render import shadowmap as SM
         shadow = SM.pcf_shadow(cfg, shadow_map, samples.positions,
@@ -353,7 +364,7 @@ def _stage_bounce(cfg: VCTConfig, samples: SamplesDevice,
 @partial(jax.jit, static_argnums=(0, 2), static_argnames=("mesh",))
 def _stage_field(cfg: VCTConfig, radiance_mips, which: str, mesh=None):
     sched = (shading.diffuse_schedule(cfg) if which == "diffuse"
-             else shading.specular_schedule(cfg))
+             else shading.specular_field_schedule(cfg))
     return shading.build_cone_field(cfg, radiance_mips, sched, mesh=mesh)
 
 
