@@ -1,7 +1,11 @@
 """Field-mode fidelity at the OPERATING POINT (VERDICT r2 missing #4):
 256^3 grid, field_dim 128 (the sponza256 default) and 256 (full grid),
 vs the exact per-pixel cone march (the fs:82-107 oracle) on a sampled
-G-buffer pixel subset — plus a mirror-material specular comparison.
+G-buffer pixel subset — plus a mirror-material specular comparison,
+the r4 percone specular KERNEL (ops/specmarch_pallas) against the same
+oracle, and END-TO-END IMAGE errors (fast path vs the percone-oracle
+renderer at the same pixels — the number that matters: occlusion and
+albedo modulate the raw field error).
 
 The full-grid diffuse field at 256^3 x 26 basis x vec4 would be 7 GB, so
 the field-256 evaluation accumulates the per-pixel weighted taps
@@ -138,6 +142,72 @@ def main():
             log(f"field {df}^3 diffuse: rel RMS {err:.4f} "
                 f"({time.time()-t0:.1f}s)")
 
+    # ---- the r4 percone specular kernel vs the exact oracle ----
+    if stage in ("all", "kernelspec"):
+        from vct_tpu.ops import specmarch_pallas as SP
+        eye = pos - jnp.asarray(camera.position, jnp.float32)
+        eye = -eye / jnp.linalg.norm(eye, axis=1, keepdims=True)
+        refl = shading.reflect_eye(nrm, eye)
+        s_rgb, s_occ = shading.indirect_specular_percone(cfg, mips, pos,
+                                                         nrm, refl)
+        spec_oracle_k = np.concatenate(
+            [np.asarray(s_rgb), np.asarray(s_occ)[:, None]], axis=1)
+        # the kernel runs on COHERENT image tiles: evaluate the full
+        # (480x272) frame's tiles, then compare at the subset pixels
+        gg = jnp.asarray(g)
+        posf, nrmf = gg[:, 0:3], gg[:, 3:6]
+        hitf = gg[:, 19] > 0.5
+        eyef = shading.C.normalize(
+            jnp.asarray(camera.position, jnp.float32) - posf)
+        reflf = shading.reflect_eye(nrmf, eyef)
+        startf = posf + nrmf * cfg.grid.voxel_world_size
+        pages = SP.pack_spec_mips(mips)
+        dims = SP.pages_dims(pages)
+        groups = SP.plan_groups(sched_s, len(dims))
+        npix = gg.shape[0]
+        ntiles = npix // 256
+        tiled = lambda x: x.reshape((ntiles, 256) + x.shape[1:])
+        slists = SP.select_spec_bricks(
+            tiled(startf), tiled(reflf), tiled(hitf), groups, dims,
+            cfg.grid.world_size)
+        start4 = jnp.concatenate(
+            [startf, hitf.astype(jnp.float32)[:, None]], axis=1)
+        refl4 = jnp.concatenate(
+            [reflf, jnp.zeros((npix, 1), jnp.float32)], axis=1)
+        so = SP.spec_march_tiles(
+            start4, refl4, slists, pages, groups=groups, dims=dims,
+            world_size=cfg.grid.world_size,
+            max_alpha=cfg.cones.max_alpha,
+            occlusion_falloff=cfg.cones.occlusion_falloff,
+            interpret=jax.default_backend() != "tpu", tile=256)
+        err = rel_rms(np.asarray(so)[sel], spec_oracle_k)
+        res["specular_percone_kernel_rel_rms"] = err
+        log(f"percone specular KERNEL: rel RMS {err:.4f}")
+
+    # ---- end-to-end image error: fast path vs percone-oracle pixels ----
+    if stage in ("all", "image"):
+        import dataclasses as _dc
+        from vct_tpu.render import fast as F
+        d_sel = jnp.asarray(dirs.reshape(-1, 3)[sel])
+        o_sel = jnp.asarray(origins.reshape(-1, 3)[sel])
+        cam_pos = jnp.asarray(camera.position, jnp.float32)
+        cfg_o = _dc.replace(cfg, cones=_dc.replace(
+            cfg.cones, diffuse_mode="percone", specular_mode="percone"))
+        img_oracle = np.asarray(R.render_rays(
+            cfg_o, ds, voxels, mats, o_sel, d_sel, cam_pos,
+            chunk_size=2048))
+        for name, cfg_f in (
+                ("image_field_rel_rms", cfg),
+                ("image_exact_specular_rel_rms",
+                 preset("sponza256_exact_specular"))):
+            tables = F.build_frame_tables(cfg_f, voxels, mats)
+            img = np.asarray(F.render_frame(
+                cfg_f, ds, tables, mats, origins, dirs, cam_pos,
+                interpret=jax.default_backend() != "tpu"))
+            err = rel_rms(img.reshape(-1, 3)[sel], img_oracle)
+            res[name] = err
+            log(f"{name}: rel RMS {err:.4f}")
+
     # ---- mirror-material specular: refl-dir cone vs basis field ----
     if stage in ("all", "specular"):
         eye = pos - jnp.asarray(camera.position, jnp.float32)
@@ -164,7 +234,7 @@ def main():
     res["basis"] = int(cfg.cones.field_basis)
     res["power_diffuse"] = float(cfg.cones.basis_power_diffuse)
     res["power_specular"] = float(cfg.cones.basis_power_specular)
-    out_path = os.environ.get("VCT_FIDELITY_OUT", "FIDELITY_r03.json")
+    out_path = os.environ.get("VCT_FIDELITY_OUT", "FIDELITY_r04.json")
     try:
         with open(out_path) as f:
             prev = json.load(f)

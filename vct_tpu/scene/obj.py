@@ -4,7 +4,7 @@ CalcTangentSpace) and its 4-slot material loading (Model.h:126-136).
 
 Supports: v/vt/vn, f with arbitrary polygon fan triangulation and negative
 indices, usemtl/mtllib; MTL Kd/Ks/Ke/Ns/d, map_Kd/map_Ks/map_bump/map_d
-(PNG via utils.image; TGA via _read_tga).  Missing files degrade to
+(PNG/JPG via utils.image; TGA via _read_tga).  Missing files degrade to
 constant-color materials with a warning, matching the reference's
 print-and-continue behavior (Model.h:179-183).
 """
@@ -17,7 +17,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from vct_tpu.scene.mesh import Material, Scene, scene_from_arrays
-from vct_tpu.utils.image import read_png
+from vct_tpu.utils.image import read_jpg, read_png
 
 
 def _read_tga(path: str) -> np.ndarray:
@@ -61,13 +61,18 @@ def _read_tga(path: str) -> np.ndarray:
 
 
 def load_texture(path: str) -> Optional[np.ndarray]:
-    """Image file -> float (H, W, C) in [0,1], or None on failure."""
+    """Image file -> float (H, W, C) in [0,1], or None on failure.
+
+    PNG/TGA/JPG — the stb_image formats the reference's texture path
+    consumes (Model.h:141-186, stb_image.h)."""
     try:
         ext = os.path.splitext(path)[1].lower()
         if ext == ".png":
             img = read_png(path)
         elif ext == ".tga":
             img = _read_tga(path)
+        elif ext in (".jpg", ".jpeg"):
+            return read_jpg(path)               # already float [0,1]
         else:
             return None
         return img.astype(np.float32) / 255.0
