@@ -25,6 +25,15 @@ Modes (VCT_SCALING_MODE):
            t(same n x workload, 1 device) / t(n devices), which isolates
            the sharding + collective overhead (1.0 = free sharding).
 
+           r4 attribution of the virtual-mesh numbers (SCALING_r04): the
+           dense-march column reaches ~1.0 overhead efficiency at 2-4
+           devices once the camera/build split landed; the camera-pass
+           column stays low, but its partitioned HLO contains only
+           3 all-gathers + 4 all-reduces — the residual is host
+           OVERSUBSCRIPTION (N logical CPU devices in lockstep at each
+           collective barrier on a 2-core host), not sharding overhead,
+           and vanishes on real per-chip hardware.
+
 Prints one JSON line per device count plus a summary line.
 """
 

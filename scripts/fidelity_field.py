@@ -100,7 +100,8 @@ def main():
                                      attrs))
     hits = np.nonzero(g[:, 19] > 0.5)[0]
     rng = np.random.RandomState(0)
-    sel = rng.choice(hits, size=min(2048, len(hits)), replace=False)
+    nsub = int(os.environ.get("VCT_FIDELITY_N", "2048"))
+    sel = rng.choice(hits, size=min(nsub, len(hits)), replace=False)
     pos = jnp.asarray(g[sel, 0:3])
     nrm = jnp.asarray(g[sel, 3:6])
     tan = jnp.asarray(g[sel, 9:12])
@@ -131,8 +132,10 @@ def main():
 
     stage = os.environ.get("VCT_FIDELITY_STAGE", "all")
     res = {}
+    dfs = tuple(int(x) for x in os.environ.get(
+        "VCT_FIDELITY_DF", "128,256").split(","))
     if stage in ("all", "diffuse"):
-        for df in (128, 256):
+        for df in dfs:
             t0 = time.time()
             out = field_taps_grouped(cfg, mips, sched_d, pos, nrm, w_diff,
                                      df)
@@ -152,35 +155,19 @@ def main():
                                                          nrm, refl)
         spec_oracle_k = np.concatenate(
             [np.asarray(s_rgb), np.asarray(s_occ)[:, None]], axis=1)
-        # the kernel runs on COHERENT image tiles: evaluate the full
-        # (480x272) frame's tiles, then compare at the subset pixels
+        # the kernel runs through the SHARED fast-path pass (Morton
+        # pixel clustering + brick selection + kernel)
+        from vct_tpu.render import fast as F
         gg = jnp.asarray(g)
         posf, nrmf = gg[:, 0:3], gg[:, 3:6]
         hitf = gg[:, 19] > 0.5
         eyef = shading.C.normalize(
             jnp.asarray(camera.position, jnp.float32) - posf)
-        reflf = shading.reflect_eye(nrmf, eyef)
-        startf = posf + nrmf * cfg.grid.voxel_world_size
         pages = SP.pack_spec_mips(mips)
-        dims = SP.pages_dims(pages)
-        groups = SP.plan_groups(sched_s, len(dims))
-        npix = gg.shape[0]
-        ntiles = npix // 256
-        tiled = lambda x: x.reshape((ntiles, 256) + x.shape[1:])
-        slists = SP.select_spec_bricks(
-            tiled(startf), tiled(reflf), tiled(hitf), groups, dims,
-            cfg.grid.world_size)
-        start4 = jnp.concatenate(
-            [startf, hitf.astype(jnp.float32)[:, None]], axis=1)
-        refl4 = jnp.concatenate(
-            [reflf, jnp.zeros((npix, 1), jnp.float32)], axis=1)
-        so = SP.spec_march_tiles(
-            start4, refl4, slists, pages, groups=groups, dims=dims,
-            world_size=cfg.grid.world_size,
-            max_alpha=cfg.cones.max_alpha,
-            occlusion_falloff=cfg.cones.occlusion_falloff,
-            interpret=jax.default_backend() != "tpu", tile=256)
-        err = rel_rms(np.asarray(so)[sel], spec_oracle_k)
+        so_raw = np.asarray(F.spec_percone_pass(
+            cfg, pages, posf, nrmf, nrmf, eyef, hitf,
+            interpret=jax.default_backend() != "tpu"))
+        err = rel_rms(so_raw[sel], spec_oracle_k)
         res["specular_percone_kernel_rel_rms"] = err
         log(f"percone specular KERNEL: rel RMS {err:.4f}")
 
@@ -221,7 +208,7 @@ def main():
         log(f"percone specular oracle: {time.time()-t0:.1f}s")
         w_spec = D.basis_weights(refl, basis,
                                  cfg.cones.basis_power_specular)
-        for df in (128, 256):
+        for df in dfs:
             out = field_taps_grouped(cfg, mips, sched_s, pos, nrm, w_spec,
                                      df)
             jax.block_until_ready(out)

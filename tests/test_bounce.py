@@ -18,6 +18,10 @@ from vct_tpu.render import renderer as R
 from vct_tpu.scene import cornell_box
 
 
+
+import pytest as _pytest
+pytestmark = _pytest.mark.slow   # heavy integration file: excluded from the fast lane (pytest -m "not slow")
+
 def _cfg(bounces, dim=32):
     cfg = preset("cornell64_full")
     return dataclasses.replace(

@@ -17,6 +17,10 @@ from vct_tpu.parallel import brick as B
 from vct_tpu.parallel import mesh as meshlib
 
 
+
+import pytest as _pytest
+pytestmark = _pytest.mark.slow   # heavy integration file: excluded from the fast lane (pytest -m "not slow")
+
 def make_mips(dim=32, seed=0):
     rng = np.random.default_rng(seed)
     base = np.zeros((dim, dim, dim, 4), np.float32)

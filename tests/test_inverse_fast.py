@@ -20,6 +20,10 @@ from vct_tpu.render import renderer as R
 from vct_tpu.scene.cornell import cornell_box
 
 
+
+import pytest as _pytest
+pytestmark = _pytest.mark.slow   # heavy integration file: excluded from the fast lane (pytest -m "not slow")
+
 def _cfg():
     cfg = preset("inverse")
     return dataclasses.replace(

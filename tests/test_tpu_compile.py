@@ -162,9 +162,10 @@ def test_raycast_stream_compiles_and_matches():
     # triangle's attributes
     # (hits and t already matched exactly above, so every differing ray
     # is an equal-t co-winner; a 16x-subdivided mesh is nearly all
-    # shared edges — measured 0.42% of rays on this fixture)
+    # shared edges — measured 0.42% of rays at CHUNK=512, 1.03% at the
+    # r4 CHUNK=128 which puts more shared edges on chunk boundaries)
     ray_mismatch = (np.abs(g - g_old) > 1e-4).any(axis=1).mean()
-    assert ray_mismatch < 1e-2, ray_mismatch
+    assert ray_mismatch < 2e-2, ray_mismatch
 
 
 def test_fast_frame_compiles():
@@ -193,3 +194,36 @@ def test_fast_frame_compiles():
     assert img.shape == (96, 160, 3)
     assert np.all(np.isfinite(img))
     assert 0.01 < img.mean() < 1.5, img.mean()
+
+
+def test_fast_frame_exact_specular_compiles():
+    """End-to-end hardware lowering of the r4 kernels in one pass:
+    the fused prepass, the material atlas kernel, the diffuse tap
+    kernel, and the exact per-pixel specular march — render_frame at
+    sponza256_exact_specular covers every one, non-interpret."""
+    from vct_tpu.config import preset
+    from vct_tpu.core import camera as cameralib
+    from vct_tpu.render import fast as F
+    from vct_tpu.render import renderer as R
+    from vct_tpu.scene import atrium
+
+    cfg = preset("sponza256_exact_specular")
+    cfg = dataclasses.replace(
+        cfg,
+        grid=dataclasses.replace(cfg.grid, dim=64),
+        cones=dataclasses.replace(cfg.cones, field_dim=64),
+        render=dataclasses.replace(cfg.render, width=256, height=128))
+    assert F.supported(cfg) and F._spec_percone(cfg)
+    scene = atrium()
+    ds, mats, samples = R.prepare_scene(cfg, scene)
+    voxels = R.build_voxel_state_staged(cfg, samples, mats)
+    assert voxels.specular_field is None
+    tables = F.build_frame_tables(cfg, voxels, mats)
+    assert tables.atlas_pages is not None and tables.spec_mips is not None
+    camera = cameralib.Camera(position=(48.0, -10.0, 0.0), yaw=180.0)
+    origins, dirs = cameralib.primary_rays(camera, 256, 128)
+    img = np.asarray(F.render_frame(
+        cfg, ds, tables, mats, origins, dirs,
+        jnp.asarray(camera.position, jnp.float32)))
+    assert np.all(np.isfinite(img))
+    assert img.mean() > 0.02 and img.max() > 0.2

@@ -224,9 +224,19 @@ def sharded_directional_march_multi(
                     if transmittance_only:
                         return (carry[0] * keep,), None
                     t, color, occ = carry
+                    rgb = s[..., :3]
+                    if schedule.step_factor != 1.0:
+                        # optical-depth correction — mirror of
+                        # core/dense.py's march body (r4)
+                        scale = jnp.where(
+                            a > 1e-6,
+                            (1.0 - keep) / jnp.maximum(a, 1e-6),
+                            schedule.step_factor)
+                        rgb = rgb * scale
+                        a = 1.0 - keep
                     active = (1.0 - t) < max_alpha
                     wgt = jnp.where(active, t, 0.0)
-                    color = color + wgt * s[..., :3]
+                    color = color + wgt * rgb
                     occ = occ + wgt * a / x["atten"]
                     t = jnp.where(active, t * keep, t)
                     return (t, color, occ), None
