@@ -25,7 +25,7 @@ config constants — so the whole step schedule is STATIC.  The march is then
       where 1-T_k >= MAX_ALPHA reproduces the sequential loop exactly.
 
 No data-dependent control flow remains — ideal for XLA and for the Pallas
-kernel (ops/conemarch_pallas.py) which shares these schedules.
+kernel (ops/specmarch_pallas.py) which shares these schedules.
 """
 
 from __future__ import annotations

@@ -412,6 +412,7 @@ def select_chunks(dirs: Array, spheres: Array) -> Tuple[Array, Array]:
     min_dot = jnp.min(jnp.einsum("ntk,nk->nt", dirs, axis), axis=1)
     cos_a = jnp.clip(min_dot, 1e-4, 1.0)                        # (nrt,)
     sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+    wide = min_dot <= 1e-4   # no valid bounding cone -> keep-all below
     v = spheres[:, :3]                                          # (nchunk, 3)
     r = spheres[:, 3]
     along = jnp.einsum("nk,ck->nc", axis, v)                    # (nrt, nchunk)
@@ -419,10 +420,12 @@ def select_chunks(dirs: Array, spheres: Array) -> Tuple[Array, Array]:
     perp = jnp.sqrt(jnp.maximum(vv - along * along, 0.0))
     dist = cos_a[:, None] * perp - sin_a[:, None] * along
     keep = (dist <= r[None, :]) & (along >= -r[None, :])
-    # a tile whose rays spread past 90 degrees from the mean axis has no
-    # valid bounding cone — keep every chunk rather than cull wrongly
-    # (pinhole tiles never hit this; ADVICE r3)
-    keep = keep | (min_dot <= 0.0)[:, None]
+    # a tile whose rays spread to (or past) ~90 degrees from the mean axis
+    # has no valid bounding cone — keep every chunk rather than cull
+    # wrongly.  The threshold matches the cos_a clip floor so the clip can
+    # never NARROW the cone of a kept tile (pinhole tiles never hit this;
+    # ADVICE r3/r4).
+    keep = keep | wide[:, None]
     counts = jnp.sum(keep, axis=1).astype(jnp.int32)
 
     # FRONT-TO-BACK: surviving chunks sorted by conservative near
@@ -435,16 +438,21 @@ def select_chunks(dirs: Array, spheres: Array) -> Tuple[Array, Array]:
     # VALUE-sort the packed (near | id) words directly: sorting by the
     # word IS sorting by (near, id), and it avoids the argsort + gather
     # pair, which measured 207 ms vs 15 ms at 1080p x 2248 chunks (r4).
-    # Culled entries carry a 2^30 sentinel, whose near bits also make the
-    # kernel's stop check fire if it ever peeks past the count.
+    # Culled entries carry the int32-max sentinel 0x7FFFFFFF: the largest
+    # real word is (32766 << 16) | 0xFFFF = 0x7FFEFFFF, so culled entries
+    # always sort AFTER every kept chunk (a 2^30 sentinel did not — a kept
+    # chunk with near_q >= 16384 packed above it and sentinels leaked into
+    # the counted prefix; ADVICE r4).  The sentinel's near bits (32767)
+    # also make the kernel's stop check fire if it ever peeks past the
+    # count.
     cis = jnp.broadcast_to(jnp.arange(nchunk, dtype=jnp.int32)[None, :],
                            (nrt, nchunk))
-    words = jnp.where(keep, cis | (near_q << 16), jnp.int32(2 ** 30))
+    words = jnp.where(keep, cis | (near_q << 16), jnp.int32(0x7FFFFFFF))
     sorted_words = jnp.sort(words, axis=1)
     # lane dim padded to a 128-multiple: the kernel DMAs one lists row per
     # tile, and Mosaic requires 128-aligned lane extents on sliced copies
     ncp = -(-nchunk // 128) * 128
-    lists = jnp.full((nrt, ncp), jnp.int32(2 ** 30)).at[
+    lists = jnp.full((nrt, ncp), jnp.int32(0x7FFFFFFF)).at[
         :, :nchunk].set(sorted_words)
     pad_r = (-nrt) % 8       # kernel copies 8-row groups (sublane-aligned)
     if pad_r:

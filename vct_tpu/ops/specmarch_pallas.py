@@ -31,9 +31,10 @@ step group instead of per single tap):
     page array whose source address is pure arithmetic (no per-level
     branching), (b) evaluates ALL of a group's steps as stacked-row
     two-hot matmuls against the group brick (one matmul chain per group
-    instead of per step), (c) runs the sequential front-to-back
-    composite on the batched per-step taps, and (d) processes GT=2
-    tiles per grid step to halve the per-op overhead.
+    instead of per step), and (c) runs the sequential front-to-back
+    composite on the batched per-step taps.  (GT stays 1: the kernel is
+    compute-bound on its per-row tap chains, so batching more tiles per
+    grid step only inflates scoped VMEM — see the GT constant.)
   * Early-out: per pixel via masked transmittance, per grid step via a
     stop flag that skips remaining groups' COMPUTE once every ray's
     alpha passes MAX_ALPHA (their DMAs were already in flight; the
@@ -655,9 +656,9 @@ def spec_march_tiles(start4: Array,          # (n, 4): start xyz, hit mask
     in w (miss pixels march with zero transmittance — zero output, and
     they don't hold tiles live past the early-out).  pages from
     pack_spec_mips(radiance_mips); groups from plan_groups; lists from
-    select_spec_bricks.  The tile count must be even (GT=2 tiles per
-    grid step).  Oracle: core/march.cone_march up to the per-tile
-    footprint-forced lod fallback; differentiable via spec_march_ref.
+    select_spec_bricks.  Oracle: core/march.cone_march up to the
+    per-tile footprint-forced lod fallback; differentiable via
+    spec_march_ref.
     """
     statics = (tuple(groups), tuple(dims), float(world_size),
                float(max_alpha), float(occlusion_falloff), bool(interpret),
