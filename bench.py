@@ -198,7 +198,7 @@ def main():
         # itemize the raycast share at this triangle count
         h2, w2 = dirs.shape[:2]
         hp = -(-h2 // F.TSY) * F.TSY
-        wp = -(-w2 // F.TSX) * F.TSX
+        wp = -(-w2 // 64) * 64        # binned raycast strip granularity
         dpad = jnp.pad(dirs, ((0, hp - h2), (0, wp - w2), (0, 0)),
                        mode="edge")
         dflat = jax.jit(lambda x: F._tile_order(x, hp, wp))(dpad)
@@ -209,13 +209,12 @@ def main():
             rcf = jax.jit(lambda d: RP.raycast_gbuf24(d, origin0, isect,
                                                       attrs))
         else:
-            isect, attrsT, spheres, _ = RP.pack_tables_stream(
-                ds_hi, origin0, mats.albedo, mats.specular, mats.shininess)
-            nrt = dflat.shape[0] // RP.TILE
-            lists, counts = RP.select_chunks(
-                dflat.reshape(nrt, RP.TILE, 3), spheres)
-            rcf = jax.jit(lambda d: RP.raycast_stream(
-                d, origin0, isect, attrsT, lists, counts, spheres))
+            # the binned raster-style pipeline render_frame uses
+            # (pack + bin + kernel + finish, all camera-dependent)
+            from vct_tpu.ops import binrast_pallas as BRR
+            rcf = jax.jit(lambda d: BRR.raycast_pinhole_binned(
+                ds_hi, jnp.asarray(origin0), d, dpad, mats.albedo,
+                mats.specular, mats.shininess))
         sync(rcf(dflat))
         t0 = time.time()
         for _ in range(n_rep - 1):
@@ -223,6 +222,12 @@ def main():
         sync(rcf(dflat))
         raycast_ms = (time.time() - t0) / n_rep * 1e3
         log(f"raycast share at {frame_tris} tris: {raycast_ms:.1f} ms")
+        # release the itemization executable + its retained tables before
+        # the frame loop allocates its own copies (OOM headroom at 256^3)
+        del rcf
+        jax.clear_caches()
+        import gc
+        gc.collect()
     else:
         chunk = int(os.environ.get("VCT_BENCH_CHUNK", "65536"))
         jf = jax.jit(lambda ds_, v, m, o, d, cp: R.render_rays(

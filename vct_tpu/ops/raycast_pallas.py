@@ -117,15 +117,21 @@ def _kernel(dirs_ref, o_ref, isect_ref, attrs_ref, out_ref, *, tp: int,
         blk = isect_ref[:, pl.ds(base, tc)]           # (16, tc)
         at = attrs_ref[pl.ds(base, tc), :]            # (tc, NATTR)
         kk = blk[9:10, :]
-        # det/u*det/v*det for all (ray, tri) pairs: three K=3 contractions
-        # on the MXU instead of 15 VPU broadcast ops per element
-        def dot3(rows):
-            return jax.lax.dot_general(
-                d, rows, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        det = dot3(blk[0:3, :])
-        ud = dot3(blk[3:6, :])
-        vd = dot3(blk[6:9, :])
+        # det/u*det/v*det for all (ray, tri) pairs: exact-f32 K=3
+        # contractions as VPU broadcast multiply-adds.  EXACT f32 is
+        # load-bearing: the origin-folded constants make u*det/v*det
+        # small differences of ~100x-larger products, and the MXU's
+        # default bf16 passes flip `valid` for thin/grazing triangles
+        # (r5 finding: 10% of 1080p pixels at 287k tris disagreed with
+        # the f32 oracle); Precision.HIGHEST fixes that but measured
+        # ~6x slower than these 5 elementwise ops per contraction.
+        def dot3(r0):
+            return (d[:, 0:1] * blk[r0:r0 + 1, :]
+                    + d[:, 1:2] * blk[r0 + 1:r0 + 2, :]
+                    + d[:, 2:3] * blk[r0 + 2:r0 + 3, :])
+        det = dot3(0)
+        ud = dot3(3)
+        vd = dot3(6)
         s = jnp.sign(det)
         ad = jnp.abs(det)
         sk = s * kk
@@ -148,7 +154,8 @@ def _kernel(dirs_ref, o_ref, isect_ref, attrs_ref, out_ref, *, tp: int,
         v_c = jnp.sum(onehot * (vd * sinv), axis=1, keepdims=True)
         arow = jax.lax.dot_general(
             onehot, at, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (TILE, NATTR)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)      # (TILE, NATTR)
         gcand = jnp.concatenate([u_c, v_c, jnp.zeros_like(u_c), arow],
                                 axis=1)               # (TILE, NATTR+3)
 
@@ -207,9 +214,17 @@ def raycast_ref(dirs: Array, origin: Array, isect: Array,
     d = dirs
     blk = isect                                    # (16, Tp)
     tp = blk.shape[1]
-    det = d @ blk[0:3]
-    ud = d @ blk[3:6]
-    vd = d @ blk[6:9]
+    hi = jax.lax.Precision.HIGHEST
+
+    # the EXACT same f32 expression as the kernels' dot3 (matmul would
+    # round differently and flip winners on near-ties; see _kernel)
+    def dot3(r0):
+        return (d[:, 0:1] * blk[r0:r0 + 1, :]
+                + d[:, 1:2] * blk[r0 + 1:r0 + 2, :]
+                + d[:, 2:3] * blk[r0 + 2:r0 + 3, :])
+    det = dot3(0)
+    ud = dot3(3)
+    vd = dot3(6)
     kk = blk[9:10]
     s = jnp.sign(det)
     ad = jnp.abs(det)
@@ -227,7 +242,7 @@ def raycast_ref(dirs: Array, origin: Array, isect: Array,
     onehot = ((lanes == idx) & (tbest < _BIG)).astype(jnp.float32)
     u_c = jnp.sum(onehot * (ud * sinv), axis=1, keepdims=True)
     v_c = jnp.sum(onehot * (vd * sinv), axis=1, keepdims=True)
-    arow = onehot @ attrs                          # (N, NATTR)
+    arow = jnp.matmul(onehot, attrs, precision=hi)  # (N, NATTR)
     g = jnp.concatenate([u_c, v_c, jnp.zeros_like(u_c), arow], axis=1)
 
     class _Ref:                                    # mimic o_ref[0:1, :]
@@ -409,13 +424,18 @@ def select_chunks(dirs: Array, spheres: Array) -> Tuple[Array, Array]:
     axis = jnp.sum(dirs, axis=1)
     axis = axis / jnp.maximum(
         jnp.linalg.norm(axis, axis=1, keepdims=True), 1e-12)
-    min_dot = jnp.min(jnp.einsum("ntk,nk->nt", dirs, axis), axis=1)
+    # f32-exact contractions: the TPU's default bf16 matmul precision
+    # puts ~0.4-unit errors on `along` for far chunks, enough to miscull
+    # chunks that marginally touch the cone (r5 finding — the same class
+    # of bug as the kernel dot3s; see _kernel)
+    min_dot = jnp.min(jnp.sum(dirs * axis[:, None, :], axis=2), axis=1)
     cos_a = jnp.clip(min_dot, 1e-4, 1.0)                        # (nrt,)
     sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
     wide = min_dot <= 1e-4   # no valid bounding cone -> keep-all below
     v = spheres[:, :3]                                          # (nchunk, 3)
     r = spheres[:, 3]
-    along = jnp.einsum("nk,ck->nc", axis, v)                    # (nrt, nchunk)
+    along = jnp.matmul(axis, v.T,
+                       precision=jax.lax.Precision.HIGHEST)     # (nrt, nchunk)
     vv = jnp.sum(v * v, axis=1)[None, :]
     perp = jnp.sqrt(jnp.maximum(vv - along * along, 0.0))
     dist = cos_a[:, None] * perp - sin_a[:, None] * along
@@ -533,13 +553,14 @@ def _stream_kernel(scal_ref,               # (1+GANG, nrt) int32 prefetch
                 [abuf[slot, m] for m in range(GANG)], axis=1)  # (NATTR, gw)
             kk = blk[9:10, :]
 
-            def dot3(rows):
-                return jax.lax.dot_general(
-                    d, rows, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            det = dot3(blk[0:3, :])
-            ud = dot3(blk[3:6, :])
-            vd = dot3(blk[6:9, :])
+            def dot3(r0):
+                # exact f32 — see the whole-table kernel's dot3
+                return (d[:, 0:1] * blk[r0:r0 + 1, :]
+                        + d[:, 1:2] * blk[r0 + 1:r0 + 2, :]
+                        + d[:, 2:3] * blk[r0 + 2:r0 + 3, :])
+            det = dot3(0)
+            ud = dot3(3)
+            vd = dot3(6)
             s = jnp.sign(det)
             ad = jnp.abs(det)
             sk = s * kk
@@ -570,7 +591,8 @@ def _stream_kernel(scal_ref,               # (1+GANG, nrt) int32 prefetch
                 v_c = jnp.sum(onehot * (vd * sinv), axis=1, keepdims=True)
                 arow = jax.lax.dot_general(
                     onehot, at, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)   # (TILE, NATTR)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # (TILE, NATTR)
                 gcand = jnp.concatenate(
                     [u_c, v_c, jnp.zeros_like(u_c), arow], axis=1)
                 # strict < keeps the EARLIER list entry's winner on exact

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -39,6 +40,7 @@ from vct_tpu.config import VCTConfig
 from vct_tpu.core import cones as C
 from vct_tpu.core import dense as D
 from vct_tpu.core import grid as G
+from vct_tpu.ops import binrast_pallas as BR
 from vct_tpu.ops import material_pallas as MP
 from vct_tpu.ops import prepass_pallas as PP
 from vct_tpu.ops import raycast_pallas as RP
@@ -213,7 +215,6 @@ def _cones_static(cfg: VCTConfig):
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("interpret",))
 def render_frame(cfg: VCTConfig,
                  ds: DeviceScene,
                  tables: FrameTables,
@@ -223,31 +224,82 @@ def render_frame(cfg: VCTConfig,
                  camera_position: Array,     # (3,)
                  light_dir: Optional[Array] = None,
                  interpret: bool = False) -> Array:
-    """Full camera pass -> (H, W, 3) linear RGB."""
+    """Full camera pass -> (H, W, 3) linear RGB.
+
+    A thin orchestrator over two jitted stages (raycast -> shade): one
+    fused program's temp plan exceeded the TPU backend's per-executable
+    arena once the binned raycast tables and the 256^3 frame tables
+    coexisted (r5)."""
     h, w = dirs.shape[:2]
     hp = -(-h // TSY) * TSY
-    wp = -(-w // TSX) * TSX
+    wp = -(-w // 64) * 64
     if light_dir is None:
         light_dir = jnp.asarray(cfg.light.direction, jnp.float32)
         light_dir = light_dir / jnp.linalg.norm(light_dir)
-
-    d = jnp.pad(dirs, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
-    d = _tile_order(d, hp, wp)                             # (N, 3)
     origin = origins.reshape(-1, 3)[0]
 
-    # 1. raycast — whole-table VMEM kernel for small scenes, streamed
-    # triangle chunks with per-tile cone culling at Sponza scale
+    # 1. raycast — whole-table VMEM kernel for small scenes; at Sponza
+    # scale the raster-style BINNED kernel (ops/binrast_pallas: screen-
+    # space triangle binning, per-strip segments — 139 ms vs the r4
+    # streamed chunk-culled kernel's 216 ms at 287k tris/1080p, measured
+    # r5).  VCT_RAYCAST=stream selects the r4 streamed path.
     if ds.v0.shape[0] <= 2 * RP.TCHUNK:
-        isect, attrs, _ = RP.pack_tables(ds, origin, mats.albedo,
-                                         mats.specular, mats.shininess)
-        g = RP.raycast_gbuf24(d, origin, isect, attrs, interpret=interpret)
+        raycast = _raycast_small
+    elif os.environ.get("VCT_RAYCAST") == "stream":
+        raycast = _raycast_streamed
     else:
-        isect, attrsT, spheres, _ = RP.pack_tables_stream(
-            ds, origin, mats.albedo, mats.specular, mats.shininess)
-        nrt = d.shape[0] // RP.TILE
-        lists, counts = RP.select_chunks(d.reshape(nrt, RP.TILE, 3), spheres)
-        g = RP.raycast_stream(d, origin, isect, attrsT, lists, counts,
-                              spheres, interpret=interpret)
+        raycast = _raycast_binned_stage
+    g, d = raycast(ds, mats, dirs, origin, interpret=interpret)
+    return _shade(cfg, tables, mats, g, d, origin, camera_position,
+                  light_dir, (h, w, hp, wp), interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _raycast_small(ds, mats, dirs, origin, interpret=False):
+    h, w = dirs.shape[:2]
+    hp = -(-h // TSY) * TSY
+    wp = -(-w // 64) * 64
+    dimg = jnp.pad(dirs, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+    d = _tile_order(dimg, hp, wp)
+    isect, attrs, _ = RP.pack_tables(ds, origin, mats.albedo,
+                                     mats.specular, mats.shininess)
+    return RP.raycast_gbuf24(d, origin, isect, attrs,
+                             interpret=interpret), d
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _raycast_streamed(ds, mats, dirs, origin, interpret=False):
+    h, w = dirs.shape[:2]
+    hp = -(-h // TSY) * TSY
+    wp = -(-w // 64) * 64
+    dimg = jnp.pad(dirs, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+    d = _tile_order(dimg, hp, wp)
+    isect, attrsT, spheres, _ = RP.pack_tables_stream(
+        ds, origin, mats.albedo, mats.specular, mats.shininess)
+    nrt = d.shape[0] // RP.TILE
+    lists, counts = RP.select_chunks(d.reshape(nrt, RP.TILE, 3), spheres)
+    return RP.raycast_stream(d, origin, isect, attrsT, lists, counts,
+                             spheres, interpret=interpret), d
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _raycast_binned_stage(ds, mats, dirs, origin, interpret=False):
+    h, w = dirs.shape[:2]
+    hp = -(-h // TSY) * TSY
+    wp = -(-w // 64) * 64
+    dimg = jnp.pad(dirs, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+    d = _tile_order(dimg, hp, wp)
+    return BR.raycast_pinhole_binned(
+        ds, origin, d, dimg, mats.albedo, mats.specular, mats.shininess,
+        interpret=interpret), d
+
+
+@functools.partial(jax.jit, static_argnums=(0, 8),
+                   static_argnames=("interpret",))
+def _shade(cfg: VCTConfig, tables: FrameTables, mats: MaterialTable,
+           g: Array, d: Array, origin: Array, camera_position: Array,
+           light_dir: Array, hw, interpret: bool = False) -> Array:
+    h, w, hp, wp = hw
 
     # 2. fused per-tile prepass: light/field brick selection + per-material
     # atlas entries + per-pixel material slots, one Pallas pass over the
