@@ -68,6 +68,27 @@ def test_sharded_render_matches_replicated(setup):
         np.asarray(img_sharded), np.asarray(img_ref), rtol=2e-4, atol=2e-5)
 
 
+def test_shardmap_camera_matches_replicated(setup):
+    """The collective-free shard_map camera pass (the scaling harness's
+    production path, scripts/scaling_attrib.py) == the replicated render."""
+    cfg, ds, mats, samples, origins, dirs, cam_pos = setup
+    mesh = meshlib.make_mesh(n_data=4, n_model=2)
+    voxels = R.build_voxel_state(cfg, samples, mats)
+
+    fn = tile_dp.shardmap_camera_fn(cfg, ds, mesh, chunk_size=256)
+    img_sharded = fn(origins, dirs, cam_pos, voxels, mats)
+    # zero collectives in the partitioned program — the property that
+    # fixed the r4 n=2 weak-overhead loss (SCALING_ATTRIB_r05.json)
+    txt = fn.lower(origins, dirs, cam_pos, voxels, mats).compile().as_text()
+    for op in ("all-gather(", "all-reduce(", "collective-permute("):
+        assert op not in txt, op
+
+    img_ref = R.render_rays(cfg, ds, voxels, mats, origins, dirs, cam_pos,
+                            chunk_size=256)
+    np.testing.assert_allclose(
+        np.asarray(img_sharded), np.asarray(img_ref), rtol=2e-4, atol=2e-5)
+
+
 def test_out_of_grid_padding_is_noop(setup):
     cfg, ds, mats, samples, origins, dirs, cam_pos = setup
     v1 = R.build_voxel_state(cfg, samples, mats)

@@ -156,6 +156,17 @@ class RenderConfig:
     shininess: float = 20.0          # Mesh.h:86
     opacity: float = 1.0             # Mesh.h:87
     alpha_threshold: float = 0.5     # fs:171 alpha-mask discard
+    # Alpha-mask SEE-THROUGH (fs:169-172 `discard`): a discarded fragment
+    # exposes the depth-tested geometry BEHIND it, so the raycaster must
+    # continue past masked hits.  alpha_mask_depth = bounded re-cast
+    # iterations (0 disables; masked pixels then show the background —
+    # the pre-r5 behavior).  Applies only when materials carry textures
+    # (the reference reads alpha from DiffuseTexture, fs:167).
+    alpha_mask_depth: int = 2
+    # fast path: masked pixels re-cast through the streamed kernel in a
+    # gathered subset of at most this many rays per iteration; overflow
+    # pixels keep the background fallback (conservative, budget-bounded)
+    alpha_mask_budget: int = 65536
     # display toggles (ref fields Voxel_Cone_Tracing.h:51-52, never wired there)
     show_diffuse: bool = True
     show_indirect_diffuse: bool = True

@@ -482,12 +482,14 @@ def select_chunks(dirs: Array, spheres: Array) -> Tuple[Array, Array]:
 
 
 def _stream_kernel(scal_ref,               # (1+GANG, nrt) int32 prefetch
-                   dirs_ref, o_ref, tfar_ref, lists_ref, isect_ref,
-                   attrsT_ref,
+                   dirs_ref, o_ref, tfar_ref, tmin_ref, lists_ref,
+                   isect_ref, attrsT_ref,
                    out_ref, listbuf, tb_ref, gb_ref,
                    ibuf, abuf, lsem, isem, asem,
                    *, nchunk: int, eps: float, tmin_eps: float):
     d = dirs_ref[...]                       # (TILE, 3)
+    tmn = tmin_ref[...]                     # (TILE, 1) per-ray min hit t
+                                            # (alpha-mask re-cast; -1 = off)
     i = pl.program_id(0)
     cnt = scal_ref[0, i]
     gw = GANG * CHUNK
@@ -569,7 +571,7 @@ def _stream_kernel(scal_ref,               # (1+GANG, nrt) int32 prefetch
             valid = ((ad > eps) & (s * ud >= 0) & (s * vd >= 0)
                      & (s * (ud + vd) <= ad) & (sk > tmin_eps * ad))
             tval = kk * sinv
-            tcand = jnp.where(valid, tval, _BIG)      # (TILE, gw)
+            tcand = jnp.where(valid & (tval > tmn), tval, _BIG)  # (TILE, gw)
 
             tmin_c = jnp.min(tcand, axis=1, keepdims=True)
             tbest = tb_ref[...]
@@ -661,11 +663,16 @@ def _finish_gbuf(d, o_ref, tbest, g, miss_at=None):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def raycast_stream(dirs: Array, origin: Array, isect: Array, attrsT: Array,
                    lists: Array, counts: Array, spheres: Array,
-                   interpret: bool = False) -> Array:
+                   interpret: bool = False,
+                   tmin: Optional[Array] = None) -> Array:
     """Streamed closest-hit G-buffer: (N, 3) same-origin rays ->
     (N, NOUT), N a TILE multiple; tables + spheres from
     pack_tables_stream, chunk lists from select_chunks.  Output columns
-    as raycast_gbuf24."""
+    as raycast_gbuf24.
+
+    tmin: optional (N, 1) per-ray minimum hit distance — the alpha-mask
+    see-through re-cast (fs:169-172 `discard`) continues rays past a
+    masked hit (render/fast.py alpha_resolve)."""
     n = dirs.shape[0]
     assert n % TILE == 0, n
     tp = isect.shape[1]
@@ -700,6 +707,8 @@ def raycast_stream(dirs: Array, origin: Array, isect: Array, attrsT: Array,
     ta = vmin[None, :] * dinv
     tb = vmax[None, :] * dinv
     tfar = jnp.maximum(jnp.min(jnp.maximum(ta, tb), axis=1), 0.0)[:, None]
+    if tmin is None:
+        tmin = jnp.full((n, 1), -1.0, jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n // TILE,),
@@ -707,6 +716,8 @@ def raycast_stream(dirs: Array, origin: Array, isect: Array, attrsT: Array,
             pl.BlockSpec((TILE, 3), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, 1), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -732,7 +743,7 @@ def raycast_stream(dirs: Array, origin: Array, isect: Array, attrsT: Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, NOUT), jnp.float32),
         interpret=interpret,
-    )(scal.T, dirs, origin[None, :], tfar, lists, isect, attrsT)
+    )(scal.T, dirs, origin[None, :], tfar, tmin, lists, isect, attrsT)
 
 
 def gbuf24_to_gbuffer(g: Array) -> GBuffer:

@@ -76,6 +76,44 @@ def sharded_camera_fn(
     )
 
 
+def shardmap_camera_fn(
+    cfg: VCTConfig,
+    ds: DeviceScene,
+    mesh: Mesh,
+    chunk_size: int = 4096,
+):
+    """The tile-DP camera pass as an explicit shard_map: each device runs
+    render_rays on its own image-row block with the voxel state
+    replicated — ZERO collectives by construction.
+
+    The jit+sharding variant (sharded_camera_fn) leaves XLA's partitioner
+    room to insert reshards: render_rays reads o[0] (a cross-shard
+    dynamic-slice off the row-sharded origins) and reshapes the sharded
+    ray dim through the chunk grid, which SPMD lowers to all-gathers +
+    all-reduce-style rewrites (scripts/scaling_attrib.py counts 7 such
+    collectives at n=2).  Mapping per device first makes o[0] the LOCAL
+    first origin (identical for every pinhole ray) and the chunk reshape
+    local, so the partitioned program is collective-free (the same script
+    verifies 0).
+
+    Image rows must divide the 'data' axis size."""
+    from jax.sharding import PartitionSpec
+
+    P_ = PartitionSpec
+
+    def local(origins, dirs, cam_pos, voxels, mats):
+        return R.render_rays(cfg, ds, voxels, mats, origins, dirs, cam_pos,
+                             chunk_size=chunk_size)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P_("data"), P_("data"), P_(), P_(), P_()),
+        out_specs=P_("data"),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def sharded_render_fn(
     cfg: VCTConfig,
     ds: DeviceScene,

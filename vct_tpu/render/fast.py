@@ -155,6 +155,72 @@ def spec_percone_pass(cfg: VCTConfig, spec_mips, pos: Array, nrm: Array,
     return jnp.take(so, inv, axis=0)
 
 
+@functools.partial(jax.jit, static_argnums=0,
+                   static_argnames=("interpret",))
+def alpha_resolve(cfg: VCTConfig, ds: DeviceScene, mats: MaterialTable,
+                  g: Array, d: Array, origin: Array,
+                  interpret: bool = False) -> Array:
+    """Alpha-mask SEE-THROUGH for the fast path (fs:169-172 `discard`):
+    hits whose sampled albedo alpha < threshold re-cast past the masked
+    surface so the geometry BEHIND it shades (reference `discard` +
+    depth test; README.md:13 "Alpha Textures").
+
+    Budget-bounded: per iteration, up to cfg.render.alpha_mask_budget
+    candidate pixels (hit pixels of materials with any masked texel)
+    gather into a fixed-size subset; the subset samples the atlas alpha
+    (an XLA gather — cheap at subset size) and masked rays re-enter the
+    STREAMED raycast kernel with per-ray tmin just past their masked hit.
+    Overflow pixels and masked stacks deeper than alpha_mask_depth keep
+    the background fallback (conservative, documented deviation).  The
+    whole resolve sits under a lax.cond on "any candidate at all", so
+    mask-free frames skip the table packing and the kernel entirely."""
+    from vct_tpu.scene import textures as TXS
+
+    thresh = cfg.render.alpha_threshold
+    n = g.shape[0]
+    budget = min(cfg.render.alpha_mask_budget, n)
+    budget = -(-budget // RP.TILE) * RP.TILE
+    # per-material "can mask at all" flag (tiny reduction over the atlas)
+    maskable = jnp.any(mats.atlas.albedo[..., 3] < thresh, axis=(1, 2))
+
+    def candidates(g):
+        mat = g[:, 17].astype(jnp.int32)
+        hit = g[:, 19] > 0.5
+        return hit & maskable[mat]
+
+    def resolve(g):
+        isect, attrsT, spheres, _ = RP.pack_tables_stream(
+            ds, origin, mats.albedo, mats.specular, mats.shininess)
+        for _ in range(cfg.render.alpha_mask_depth):
+            cand = candidates(g)
+            (idx,) = jnp.nonzero(cand, size=budget, fill_value=0)
+            valid = jax.lax.broadcasted_iota(
+                jnp.int32, (budget,), 0) < jnp.sum(cand)
+            rows = g[idx]
+            alpha = TXS.sample_atlas(mats.atlas.albedo,
+                                     rows[:, 17].astype(jnp.int32),
+                                     rows[:, 15:17])[:, 3]
+            masked = valid & (alpha < thresh)
+            tmin = jnp.where(masked,
+                             rows[:, 18] * (1.0 + 1e-5) + 1e-4,
+                             jnp.float32(3.0e38))[:, None]
+            d_sub = d[idx]
+            nrt = budget // RP.TILE
+            lists, counts = RP.select_chunks(
+                d_sub.reshape(nrt, RP.TILE, 3), spheres)
+            g_sub = RP.raycast_stream(d_sub, origin, isect, attrsT, lists,
+                                      counts, spheres, interpret=interpret,
+                                      tmin=tmin)
+            # scatter only the masked rows; the n sentinel drops padding
+            # duplicates (nonzero's fill rows alias index 0, and .set
+            # with conflicting duplicate writes is unordered)
+            safe = jnp.where(masked, idx, n)
+            g = g.at[safe].set(g_sub, mode="drop")
+        return g
+
+    return jax.lax.cond(jnp.any(candidates(g)), resolve, lambda g: g, g)
+
+
 def _mips_to(vol: Array, floor_dim: int) -> Tuple[Array, ...]:
     d = vol.shape[0]
     n = int(np.log2(d // floor_dim)) + 1
@@ -250,6 +316,10 @@ def render_frame(cfg: VCTConfig,
     else:
         raycast = _raycast_binned_stage
     g, d = raycast(ds, mats, dirs, origin, interpret=interpret)
+    # 1b. alpha-mask see-through (fs:169-172 `discard`): re-cast masked
+    # hits so the surface BEHIND a masked texel renders, not the background
+    if mats.atlas is not None and cfg.render.alpha_mask_depth > 0:
+        g = alpha_resolve(cfg, ds, mats, g, d, origin, interpret=interpret)
     return _shade(cfg, tables, mats, g, d, origin, camera_position,
                   light_dir, (h, w, hp, wp), interpret=interpret)
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -165,10 +165,15 @@ def pinhole_constants(ds: DeviceScene, origin: Array) -> PinholeConstants:
 
 
 def _intersect_chunk_pinhole(dirs: Array, pc: PinholeConstants,
-                             eps: float = 1e-7
+                             eps: float = 1e-7,
+                             tmin: Optional[Array] = None,
                              ) -> Tuple[Array, Array, Array]:
     """Closest hit for one chunk of same-origin rays: three matmuls + a
-    sign-folded validity mask + argmin.  Returns (t, tri, det_winner)."""
+    sign-folded validity mask + argmin.  Returns (t, tri, det_winner).
+
+    tmin: optional per-ray (N,) minimum hit distance — the alpha-mask
+    re-cast continues a ray past a masked hit (fs:169-172 `discard`
+    exposes the surface behind; see renderer.render_rays)."""
     det = dirs @ pc.a.T                                          # (N, T)
     ud = dirs @ pc.b.T
     vd = dirs @ pc.c.T
@@ -178,6 +183,8 @@ def _intersect_chunk_pinhole(dirs: Array, pc: PinholeConstants,
     valid = ((ad > eps) & (s * ud >= 0) & (s * vd >= 0)
              & (s * (ud + vd) <= ad) & (s * pc.k[None, :] > 1e-4 * ad))
     tval = (s * pc.k[None, :]) / jnp.maximum(ad, eps)
+    if tmin is not None:
+        valid = valid & (tval > tmin[:, None])
     t = jnp.where(valid, tval, jnp.inf)
     tri = jnp.argmin(t, axis=-1)
     rows = jnp.arange(dirs.shape[0])
@@ -185,13 +192,14 @@ def _intersect_chunk_pinhole(dirs: Array, pc: PinholeConstants,
 
 
 def raycast_chunk_pinhole(ds: DeviceScene, pc: PinholeConstants,
-                          origin: Array, d: Array) -> GBuffer:
+                          origin: Array, d: Array,
+                          tmin: Optional[Array] = None) -> GBuffer:
     """raycast_chunk for same-origin rays (primary camera rays).
 
     The winner's barycentrics are recomputed exactly against just its
     triangle (3 dots per ray) instead of gathering from the (N, T) field.
     """
-    t, tri, det = _intersect_chunk_pinhole(d, pc)
+    t, tri, det = _intersect_chunk_pinhole(d, pc, tmin=tmin)
     inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
     u = jnp.sum(d * pc.b[tri], axis=-1) * inv
     v = jnp.sum(d * pc.c[tri], axis=-1) * inv

@@ -490,6 +490,38 @@ def shade_gbuffer(
     return jnp.where(visible[..., None], rgb, bg)
 
 
+def alpha_mask_recast(cfg: VCTConfig, ds: DeviceScene, pc, origin0: Array,
+                      dc: Array, gbuf: GBuffer,
+                      mats: MaterialTable) -> GBuffer:
+    """Alpha-mask SEE-THROUGH (fs:169-172): the reference's `discard`
+    drops the masked fragment so the depth-tested surface BEHIND it
+    renders.  Re-cast rays whose hit sampled albedo-alpha below the
+    threshold with a per-ray tmin just past the masked hit, up to
+    cfg.render.alpha_mask_depth times (deeper masked stacks fall back to
+    the background, the documented bounded deviation).  Applies only when
+    materials carry a texture atlas — the reference reads alpha from
+    DiffuseTexture (fs:167), so constant-albedo scenes never discard."""
+    depth = cfg.render.alpha_mask_depth
+    if depth <= 0 or mats.atlas is None:
+        return gbuf
+    thresh = cfg.render.alpha_threshold
+    neg = jnp.float32(-1.0)
+    for _ in range(depth):
+        alpha = mats.sample_albedo(gbuf.material, gbuf.uv)[..., 3]
+        masked = gbuf.hit & (alpha < thresh)
+        # epsilon in both relative and absolute terms so the SAME surface
+        # (t within float rounding) cannot re-win
+        tmin = jnp.where(masked, gbuf.t * (1.0 + 1e-5) + 1e-4, neg)
+        g2 = raycast_chunk_pinhole(ds, pc, origin0, dc, tmin=tmin)
+
+        def pick(a, b):
+            m = masked.reshape(masked.shape + (1,) * (a.ndim - 1))
+            return jnp.where(m, b, a)
+
+        gbuf = jax.tree_util.tree_map(pick, gbuf, g2)
+    return gbuf
+
+
 def render_rays(
     cfg: VCTConfig,
     ds: DeviceScene,
@@ -524,6 +556,7 @@ def render_rays(
 
         def chunk_fn(dc):
             gbuf = raycast_chunk_pinhole(ds, pc, origin0, dc)
+            gbuf = alpha_mask_recast(cfg, ds, pc, origin0, dc, gbuf, mats)
             return shade_gbuffer(cfg, voxels, gbuf, mats, camera_position,
                                  light_dir)
 
