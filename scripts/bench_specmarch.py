@@ -70,7 +70,9 @@ def main():
     voxels = R.build_voxel_state_staged(cfg, samples, mats)
     jax.block_until_ready(voxels.radiance_mips[0])
     log(f"voxel build: {time.time()-t0:.1f}s")
-    pages = SP.pack_spec_mips(voxels.radiance_mips)
+    mips = voxels.radiance_mips
+    del voxels          # free fields/volumes the sweep never samples
+    pages = SP.pack_spec_mips(mips)
 
     # --- fidelity subset (matches scripts/fidelity_field.py kernelspec) ---
     g = gbuf(ds, mats, camera, 480, 272)
@@ -83,7 +85,7 @@ def main():
         jnp.asarray(camera.position, jnp.float32) - pos_s)
     refl_s = shading.reflect_eye(nrm_s, eye_s)
     s_rgb, s_occ = shading.indirect_specular_percone(
-        cfg, voxels.radiance_mips, pos_s, nrm_s, refl_s)
+        cfg, mips, pos_s, nrm_s, refl_s)
     oracle = np.concatenate(
         [np.asarray(s_rgb), np.asarray(s_occ)[:, None]], axis=1)
 
@@ -104,21 +106,26 @@ def main():
     passfn = jax.jit(F.spec_percone_pass,
                      static_argnums=(0,), static_argnames=("interpret",
                                                            "tile"))
+
+    def sync(x):
+        # block_until_ready does NOT synchronize through the axon
+        # tunnel; force a scalar readback (see bench.py NOTE)
+        return float(jnp.sum(jnp.ravel(x)[:8]))
+
     res = {}
     for tile in tiles:
         so = np.asarray(passfn(cfg, pages, posf, nrmf, nrmf, eyef, hitf,
                                interpret=interp, tile=tile))
         err = rel_rms(so[sel], oracle)
         t0 = time.time()
-        out = passfn(cfg, pages, pos2, nrm2, nrm2, eye2, hit2,
-                     interpret=interp, tile=tile)
-        jax.block_until_ready(out)
+        sync(passfn(cfg, pages, pos2, nrm2, nrm2, eye2, hit2,
+                    interpret=interp, tile=tile))
         compile_s = time.time() - t0
         t0 = time.time()
         for _ in range(reps):
             out = passfn(cfg, pages, pos2, nrm2, nrm2, eye2, hit2,
                          interpret=interp, tile=tile)
-        jax.block_until_ready(out)
+        sync(out)
         ms = (time.time() - t0) / reps * 1e3
         res[f"tile{tile}"] = {"kernel_rel_rms": err, "spec_pass_ms_1080p": ms}
         log(f"tile {tile}: rel-RMS {err:.4f}, 1080p pass {ms:.1f} ms "

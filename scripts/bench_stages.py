@@ -149,10 +149,10 @@ def main():
         def spec_sel(start, refl, hit):
             return SP.select_spec_bricks(
                 tiledv(start), tiledv(refl), tiledv(hit), groups, dims, ws)
-        slists = spec_sel(start, refl, hit)
+        slists, rowtab = spec_sel(start, refl, hit)
         timeit("spec brick select", lambda: spec_sel(start, refl, hit))
         spec_fn = lambda: SP.spec_march_tiles(
-            start4, refl4, slists, tables.spec_mips, groups=groups,
+            start4, refl4, slists, rowtab, tables.spec_mips, groups=groups,
             dims=dims, world_size=ws, max_alpha=cfg.cones.max_alpha,
             occlusion_falloff=cfg.cones.occlusion_falloff, tile=tile)
         timeit("spec march kernel", spec_fn)

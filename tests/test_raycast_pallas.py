@@ -80,3 +80,29 @@ class TestRaycastPallas:
         np.testing.assert_allclose(
             np.asarray(out.position)[hit], np.asarray(ref.position)[hit],
             rtol=1e-4, atol=1e-3)
+
+
+def test_bwd_chunked_equals_whole(setup, monkeypatch):
+    """The chunked backward replay (BWD_CHUNK ray blocks, VERDICT r4
+    item 8) accumulates EXACTLY the whole-batch attribute gradient —
+    per-ray contributions are independent and additive."""
+    import jax
+
+    ds, o, d = setup
+    isect, attrs, _ = RP.pack_tables(ds, o[0])
+    n = (d.shape[0] // RP.TILE) * RP.TILE
+    dd = jnp.asarray(d[:n])
+    rng = np.random.default_rng(0)
+    bar = jnp.asarray(rng.uniform(-1, 1, (n, RP.NOUT)), jnp.float32)
+
+    def loss(at, chunk):
+        monkeypatch.setattr(RP, "BWD_CHUNK", chunk)
+        out = RP.raycast_gbuf24(dd, o[0], isect, at, interpret=True)
+        return jnp.sum(out * bar)
+
+    g_whole = jax.grad(lambda at: loss(at, n + 1))(attrs)
+    jax.clear_caches()      # same jit signature, different closed-over chunking
+    g_chunk = jax.grad(lambda at: loss(at, RP.TILE))(attrs)
+    assert n > RP.TILE      # the chunked path actually chunks
+    np.testing.assert_allclose(np.asarray(g_chunk), np.asarray(g_whole),
+                               rtol=1e-5, atol=1e-5)

@@ -52,18 +52,18 @@ def _run(mips, start4, refl4, dim):
     groups = SP.plan_groups(sched, len(dims))
     n = start4.shape[0]
     ntiles = n // TILE
-    lists = SP.select_spec_bricks(
+    lists, rowtab = SP.select_spec_bricks(
         start4[:, :3].reshape(ntiles, TILE, 3),
         refl4[:, :3].reshape(ntiles, TILE, 3),
         (start4[:, 3] > 0.5).reshape(ntiles, TILE),
-        groups, dims, WS)
+        groups, dims, WS, occlusion_falloff=0.03)
     kw = dict(groups=groups, dims=dims, world_size=WS, max_alpha=0.95,
               occlusion_falloff=0.03, tile=TILE)
-    out = SP.spec_march_tiles(start4, refl4, lists, pages,
+    out = SP.spec_march_tiles(start4, refl4, lists, rowtab, pages,
                               interpret=True, **kw)
     ref = SP.spec_march_ref(start4, refl4, lists, pages, groups, dims,
                             WS, 0.95, 0.03, tile=TILE)
-    return out, ref, (lists, pages, groups, dims, kw)
+    return out, ref, (lists, rowtab, pages, groups, dims, kw)
 
 
 class TestSpecMarch:
@@ -81,7 +81,7 @@ class TestSpecMarch:
         dim = 32
         mips = _mips(dim)
         start4, refl4 = _rays(4, spread=0.002)
-        out, ref, (lists, _, groups, dims, _) = _run(
+        out, ref, (lists, _, _, groups, dims, _) = _run(
             mips, start4, refl4, dim)
         # most groups at their schedule level (coherence worked)
         lv = np.asarray(lists)[:4, 0:SP.GWORDS * len(groups):SP.GWORDS]
@@ -123,13 +123,13 @@ class TestSpecMarch:
     def test_gradients_match_ref(self):
         mips = _mips(16)
         start4, refl4 = _rays(2, seed=3)
-        _, _, (lists, pages, groups, dims, kw) = _run(
+        _, _, (lists, rowtab, pages, groups, dims, kw) = _run(
             mips, start4, refl4, 16)
         rng = np.random.default_rng(9)
         tgt = jnp.asarray(rng.uniform(0, 1, (2 * TILE, 4)), jnp.float32)
 
         def loss_k(pg):
-            o = SP.spec_march_tiles(start4, refl4, lists, pg,
+            o = SP.spec_march_tiles(start4, refl4, lists, rowtab, pg,
                                     interpret=True, **kw)
             return jnp.sum(o * tgt)
 

