@@ -43,18 +43,18 @@ def test_operating_point_fidelity(tmp_path):
         env=env, capture_output=True, text=True, timeout=3000)
     assert cp.returncode == 0, cp.stdout[-2000:] + cp.stderr[-2000:]
     res = json.load(open(out))
-    # REGRESSION bounds pinned at the r4 recorded values (+ margin) so CI
-    # fails if operating-point fidelity degrades further:
-    #   diffuse field128        0.44  (resolution-dominated, FIDELITY_r03/4)
-    #   specular percone kernel 0.49  — the kernel is 0.0015-exact on
-    #     world-coherent pixel groups (tests/test_specmarch_pallas.py);
-    #     the screen-wide RMS tail comes from 256-pixel groups whose
-    #     world-space spread exceeds the lod-0 brick budget, a documented
-    #     limit of the per-group brick design (render/fast.py
-    #     spec_percone_pass).  Still better than the 26-dir basis field
-    #     (0.63, basis-limited), and the end-to-end IMAGE error of the
-    #     exact-specular mode is ~0.2 (occlusion/albedo modulate it).
+    # REGRESSION bounds pinned at the r5 recorded values (+ margin) so CI
+    # fails if operating-point fidelity degrades:
+    #   diffuse field128        0.45  (resolution-dominated, FIDELITY_r03-5)
+    #   specular percone kernel 0.196 — specmarch v2 (class bricks +
+    #     8-granular origins) cut the r4 0.486 by 2.5x; the residual is
+    #     the measured ~2% of steps whose 256-pixel Morton group still
+    #     exceeds the L-brick footprint budget (28x15x23 cells) plus
+    #     bf16 taps.  The <= 0.15 north star is tracked in
+    #     FIDELITY_r0N.json; tighten this gate as the kernel earns it.
+    #   image exact-specular    0.175 (occlusion/albedo modulate the
+    #     kernel error; the 0.20 field-image error is diffuse-dominated)
     assert res["diffuse_field128_rel_rms"] < 0.5, res
-    assert res["specular_percone_kernel_rel_rms"] < 0.55, res
-    assert res["image_field_rel_rms"] < 0.35, res
-    assert res["image_exact_specular_rel_rms"] < 0.3, res
+    assert res["specular_percone_kernel_rel_rms"] < 0.25, res
+    assert res["image_field_rel_rms"] < 0.3, res
+    assert res["image_exact_specular_rel_rms"] < 0.22, res

@@ -245,10 +245,12 @@ def preset(name: str) -> VCTConfig:
         # Field-mode GI: the TPU-native fast path (volume shadows + basis
         # fields).  specular_mode="percone" swaps the basis-field
         # approximation (mirror cones are basis-limited: rel-RMS 0.63 at
-        # 26 dirs, FIDELITY_r03) for the EXACT per-pixel specular cone
-        # march kernel (ops/specmarch_pallas) — which also drops the
-        # specular field build — at ~650 ms/frame at 1080p (the march is
-        # compute-bound at ~29 quadrilinear taps/pixel); see
+        # 26 dirs, FIDELITY_r03) for the per-pixel specular cone march
+        # kernel (ops/specmarch_pallas v2: class bricks, kernel rel-RMS
+        # 0.196 screen-wide, FIDELITY_r05) — which also drops the
+        # specular field build — at ~1.2 s/1080p for the specular pass
+        # (fidelity mode, not the interactive path; the march is ~29
+        # quadrilinear taps/pixel x 2M pixels); see
         # preset("sponza256_exact_specular").
         return VCTConfig(
             grid=GridConfig(dim=256, compute="bfloat16"),

@@ -189,37 +189,56 @@ def alpha_resolve(cfg: VCTConfig, ds: DeviceScene, mats: MaterialTable,
         hit = g[:, 19] > 0.5
         return hit & maskable[mat]
 
-    def resolve(g):
+    def one_pass(g):
         isect, attrsT, spheres, _ = RP.pack_tables_stream(
             ds, origin, mats.albedo, mats.specular, mats.shininess)
-        for _ in range(cfg.render.alpha_mask_depth):
-            cand = candidates(g)
-            (idx,) = jnp.nonzero(cand, size=budget, fill_value=0)
-            valid = jax.lax.broadcasted_iota(
-                jnp.int32, (budget,), 0) < jnp.sum(cand)
-            rows = g[idx]
-            alpha = TXS.sample_atlas(mats.atlas.albedo,
-                                     rows[:, 17].astype(jnp.int32),
-                                     rows[:, 15:17])[:, 3]
-            masked = valid & (alpha < thresh)
-            tmin = jnp.where(masked,
-                             rows[:, 18] * (1.0 + 1e-5) + 1e-4,
-                             jnp.float32(3.0e38))[:, None]
-            d_sub = d[idx]
-            nrt = budget // RP.TILE
-            lists, counts = RP.select_chunks(
-                d_sub.reshape(nrt, RP.TILE, 3), spheres)
-            g_sub = RP.raycast_stream(d_sub, origin, isect, attrsT, lists,
-                                      counts, spheres, interpret=interpret,
-                                      tmin=tmin)
-            # scatter only the masked rows; the n sentinel drops padding
-            # duplicates (nonzero's fill rows alias index 0, and .set
-            # with conflicting duplicate writes is unordered)
-            safe = jnp.where(masked, idx, n)
-            g = g.at[safe].set(g_sub, mode="drop")
-        return g
+        cand = candidates(g)
+        (idx,) = jnp.nonzero(cand, size=budget, fill_value=0)
+        valid = jax.lax.broadcasted_iota(
+            jnp.int32, (budget,), 0) < jnp.sum(cand)
+        rows = g[idx]
+        alpha = TXS.sample_atlas(mats.atlas.albedo,
+                                 rows[:, 17].astype(jnp.int32),
+                                 rows[:, 15:17])[:, 3]
+        masked = valid & (alpha < thresh)
+        # sort the subset by DIRECTION so each 256-ray kernel tile has a
+        # tight bounding cone — image-order gathered rays span the whole
+        # frame and degrade the per-tile chunk culling to keep-all
+        # (measured ~3x the resolve cost at 287k tris)
+        d_sub = d[idx]
+        q = jnp.clip((d_sub + 1.0) * 15.999, 0.0, 31.0).astype(jnp.int32)
+        key = (q[:, 0] << 10) | (q[:, 1] << 5) | q[:, 2]
+        order = jnp.argsort(jnp.where(masked, key, jnp.int32(2 ** 30)))
+        idx = idx[order]
+        masked = masked[order]
+        d_sub = d_sub[order]
+        tmin = jnp.where(masked,
+                         rows[:, 18][order] * (1.0 + 1e-5) + 1e-4,
+                         jnp.float32(3.0e38))[:, None]
+        nrt = budget // RP.TILE
+        lists, counts = RP.select_chunks(
+            d_sub.reshape(nrt, RP.TILE, 3), spheres)
+        g_sub = RP.raycast_stream(d_sub, origin, isect, attrsT, lists,
+                                  counts, spheres, interpret=interpret,
+                                  tmin=tmin)
+        # scatter only the masked rows; the n sentinel drops padding
+        # duplicates (nonzero's fill rows alias index 0, and .set
+        # with conflicting duplicate writes is unordered)
+        safe = jnp.where(masked, idx, n)
+        g = g.at[safe].set(g_sub, mode="drop")
+        # another pass is needed only when a re-cast ray LANDED on a
+        # maskable material again (a stacked mask candidate)
+        again = jnp.any(masked & (g_sub[:, 19] > 0.5)
+                        & maskable[g_sub[:, 17].astype(jnp.int32)])
+        return g, again
 
-    return jax.lax.cond(jnp.any(candidates(g)), resolve, lambda g: g, g)
+    flag = jnp.any(candidates(g))
+    for _ in range(cfg.render.alpha_mask_depth):
+        # mask-free frames (and iterations past the deepest masked
+        # stack) skip the table packing + kernel entirely
+        g, flag = jax.lax.cond(flag, one_pass,
+                               lambda g: (g, jnp.bool_(False)), g)
+    return g
 
 
 def _mips_to(vol: Array, floor_dim: int) -> Tuple[Array, ...]:
