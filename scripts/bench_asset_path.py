@@ -153,25 +153,30 @@ def main():
     prep_s = time.time() - t0
     t0 = time.time()
     voxels = R.build_voxel_state_staged(cfg, samples, mats)
-    jax.block_until_ready(voxels.radiance_mips[0])
+    float(jnp.sum(voxels.radiance_mips[0][0, 0, :8]))
     build_s = time.time() - t0
     tables = F.build_frame_tables(cfg, voxels, mats)
     jax.block_until_ready(tables.field_mips[0])
 
     origins, dirs = cameralib.primary_rays(camera, 1920, 1080)
     cam = jnp.asarray(camera.position, jnp.float32)
+
+    def sync(x):
+        # block_until_ready does NOT synchronize through the axon TPU
+        # tunnel; force a scalar readback (see bench.py NOTE)
+        return float(jnp.sum(jnp.ravel(x)[:8]))
     interp = jax.default_backend() == "cpu"
     frame = lambda: F.render_frame(cfg, ds, tables, mats, origins, dirs,
                                    cam, interpret=interp)
     t0 = time.time()
     img = frame()
-    jax.block_until_ready(img)
+    sync(img)
     compile_s = time.time() - t0
     reps = int(os.environ.get("VCT_ASSET_REPS", "5"))
     t0 = time.time()
     for _ in range(reps):
         img = frame()
-    jax.block_until_ready(img)
+    sync(img)
     frame_ms = (time.time() - t0) / reps * 1e3
     mean = float(jnp.mean(img))
     log(f"frame: {frame_ms:.1f} ms (compile {compile_s:.1f}s, "
